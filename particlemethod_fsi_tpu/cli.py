@@ -1,0 +1,167 @@
+"""Command-line runner with the reference's positional CLI contract.
+
+``fsi-tpu <data> <grid> <prof-pattern> <vtk-pattern> <log> [nthreads]``
+mirrors ``Mph_Elastic_Explicit dam.data dam.grid dam%03d.prof dam%03d.vtk
+dam.log 4`` (``/root/reference/src/main.cpp:502-507``,
+``results/Dam/execute.sh:1``).  The OpenMP thread-count argument is accepted
+as a no-op compatibility flag (TPU execution is managed by XLA).  The
+scenario, which was a compile-time ``#define`` in the reference
+(src/main.cpp:54-59), is a runtime ``--scene`` flag here.
+
+Outputs: ``.prof`` restart snapshots at OutputInterval, ``.vtk`` dumps with
+virial diagnostics at VtkOutputInterval, a timing summary in the reference's
+4-bucket format (src/main.cpp:695-700), and JSONL step metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import time as _time
+
+import numpy as np
+
+from particlemethod_fsi_tpu.config import SCENES
+from particlemethod_fsi_tpu.io.grid_file import GridData, write_grid_file
+from particlemethod_fsi_tpu.io.vtk_writer import write_vtk_file
+from particlemethod_fsi_tpu.solver import Simulation, load_case
+from particlemethod_fsi_tpu.state import to_numpy
+from particlemethod_fsi_tpu.utils.logging import RunLog
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="fsi-tpu", description="TPU-native particle-method FSI solver"
+    )
+    p.add_argument("data", help=".data physics config")
+    p.add_argument("grid", help=".grid scene / .prof restart snapshot")
+    p.add_argument("prof", nargs="?", default="out%03d.prof",
+                   help="printf pattern for .prof snapshots")
+    p.add_argument("vtk", nargs="?", default="out%03d.vtk",
+                   help="printf pattern for .vtk dumps")
+    p.add_argument("log", nargs="?", default="run.log", help="log file")
+    p.add_argument("nthreads", nargs="?", type=int, default=1,
+                   help="compat no-op (reference OpenMP thread count)")
+    p.add_argument("--scene", default="none", choices=sorted(SCENES),
+                   help="scenario module (clamps + velocity profiles)")
+    p.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    p.add_argument("--end-time", type=float, default=None)
+    p.add_argument("--apply-velocity-profile", action="store_true",
+                   help="apply the scene's initial velocity profile at t=0")
+    p.add_argument("--metrics", default=None, help="JSONL step-metrics path")
+    p.add_argument("--no-compile-cache", action="store_true")
+    return p
+
+
+def run(args) -> int:
+    log = RunLog(args.log, args.metrics)
+    log.printf("start reading files at %s\n", _time.ctime())
+    cfg, grid = load_case(args.data, args.grid, scene=args.scene)
+    if args.dtype:
+        cfg = cfg.replace(numerics=cfg.numerics.__class__(
+            **{**cfg.numerics.__dict__, "dtype": args.dtype}))
+    if args.end_time is not None:
+        cfg = cfg.replace(end_time=args.end_time)
+
+    log.printf("start initialization at %s\n", _time.ctime())
+    sim = Simulation(cfg, grid)
+    log.printf("N0a = %e\n", sim.kernels.n0a)
+    log.printf("N0p = %e\n", sim.kernels.n0p)
+    from particlemethod_fsi_tpu.io.grid_file import segment_counts
+
+    counts = segment_counts(grid.prop)
+    log.printf("Fluid Particles: %d\n", counts["fluid"])
+    log.printf("Structure Particles: %d\n", counts["structure"])
+    log.printf("Wall Particles: %d\n", counts["wall"])
+
+    state = sim.state0
+    if args.apply_velocity_profile:
+        state = sim.apply_initial_velocity_profile(state)
+
+    dt = cfg.dt
+    time = grid.time
+    i_step = int(time / dt)
+    output_next = 0.0
+    vtk_next = 0.0
+    eps = 1.0e-5 * dt
+    c_explicit = 0.0
+    c_virial = 0.0
+    c_other = 0.0
+
+    def snapshot() -> GridData:
+        h = to_numpy(state, grid.n)
+        return GridData(
+            time=time, spacing=grid.spacing,
+            domain_min=np.asarray(sim.domain_min),
+            domain_max=np.asarray(sim.domain_max),
+            prop=h["prop"], position=h["pos"],
+            initial_position=h["pos0"], velocity=h["vel"],
+        )
+
+    def write_vtk(path):
+        nonlocal c_virial
+        t0 = _time.time()
+        d = sim.diagnostics(state)
+        c_virial += _time.time() - t0
+        h = to_numpy(state, grid.n)
+        n = grid.n
+        write_vtk_file(
+            path, prop=h["prop"], position=h["pos"],
+            initial_position=h["pos0"], velocity=h["vel"],
+            stress=d["stress"][:n], strain=d["strain"][:n],
+            acceleration=d["accel"][:n], force=d["force"][:n],
+            initial_neighbor_count=d["initial_neighbor_count"][:n],
+            neighbor_count=d["neighbor_count"][:n],
+            extra_scalars={"VirialPressureAtParticle": d["virial_pressure"][:n]},
+        )
+        log.metric(step=i_step, time=time,
+                   max_speed=float(d["max_speed"]),
+                   neighbor_max=int(d["neighbor_count"].max()),
+                   cell_overflow=int(d["cell_overflow"]))
+
+    log.printf("start main roop at %s\n", _time.ctime())
+    t_start = _time.time()
+    while time < cfg.end_time + eps:
+        t0 = _time.time()
+        if time + eps >= output_next:
+            write_grid_file(snapshot(), args.prof % i_step)
+            log.printf("@ Prof Output Time : %e\n", time)
+            output_next += cfg.output_interval
+        if time + eps >= vtk_next:
+            write_vtk(args.vtk % i_step)
+            log.printf("@ Vtk Output Time : %e\n", time)
+            vtk_next += cfg.vtk_output_interval
+        c_other += _time.time() - t0
+
+        # advance to the next output boundary fully on-device
+        next_event = min(output_next, vtk_next, cfg.end_time + dt)
+        n_steps = max(1, int(round((next_event - time) / dt)))
+        t0 = _time.time()
+        state = sim.run_chunk(state, n_steps)
+        state.pos.block_until_ready()
+        c_explicit += _time.time() - t0
+        time += n_steps * dt
+        i_step += n_steps
+        log.metric(step=i_step, time=time, chunk=n_steps,
+                   chunk_seconds=_time.time() - t0)
+
+    log.printf("end main roop at %s\n", _time.ctime())
+    total = _time.time() - t_start
+    # 4-bucket summary for parity with the reference (src/main.cpp:695-700);
+    # neighbor search is fused into the explicit bucket on TPU
+    log.printf("neighbor search:         %lf [sec] (fused into explicit)\n" % 0.0)
+    log.printf("explicit calculation:    %f [sec]\n" % c_explicit)
+    log.printf("virial calculation:      %f [sec]\n" % c_virial)
+    log.printf("other calculation:       %f [sec]\n" % c_other)
+    log.printf("total:                   %f [sec]\n" % total)
+    log.close()
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

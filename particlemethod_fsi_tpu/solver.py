@@ -1,0 +1,353 @@
+"""Simulation driver: setup, the fused time step, and the scan-chunked run loop.
+
+The reference's runtime is ``main()``'s ``while(Time < EndTime)`` host loop
+calling ~20 GPU kernels per step (``/root/reference/src/main.cpp:581-688``).
+Here one pure jitted ``step`` function executes the identical op schedule
+fully on-device, and ``lax.scan`` chunks steps between host touchpoints
+(output cadence).  Sequence (matching src/main.cpp:592-663):
+
+  inlet-profile reimpose -> wall motion -> periodic wrap -> neighbor rebuild
+  -> densities (A, gravity-center, P, divergence) -> coefficients -> fluid
+  forces (pressureP, pressureA, diffuse interface, viscosity) -> gravity
+  -> FSI interface force -> velocity kick (fluid+structure) -> fluid
+  convection -> elastic substeps (F -> S -> velocity kicks -> integrate).
+
+Diagnostics (stress/strain tensors, pressures, virial stress, neighbor
+counts) are recomputed on demand at output boundaries rather than carried
+through the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particlemethod_fsi_tpu import state as state_lib
+from particlemethod_fsi_tpu.config import CaseConfig
+from particlemethod_fsi_tpu.io.grid_file import GridData
+from particlemethod_fsi_tpu.ops import fluid as fl
+from particlemethod_fsi_tpu.ops import solid as sl
+from particlemethod_fsi_tpu.ops import walls as wl
+from particlemethod_fsi_tpu.ops.neighbors import CellGrid, build_cell_grid, build_neighbor_list
+from particlemethod_fsi_tpu.ops.smoothing import KernelSet, build_kernels
+from particlemethod_fsi_tpu.state import ParticleState, Segments
+
+
+def adjust_domain(domain_min, domain_max, spacing: float, two_dimensional: bool):
+    """Force the domain to an integer multiple of the particle spacing,
+    adjusting DomainMax like the reference (initializeDomain,
+    src/main.cpp:1418-1437)."""
+    dmin = np.asarray(domain_min, dtype=np.float64).copy()
+    dmax = np.asarray(domain_max, dtype=np.float64).copy()
+    for d in range(3):
+        if two_dimensional and d == 2:
+            continue
+        width = dmax[d] - dmin[d]
+        n = max(1, int(round(width / spacing)))
+        if n * spacing != width:
+            dmax[d] = dmin[d] + n * spacing
+    return dmin, dmax
+
+
+class Simulation:
+    """One configured case: static setup + jitted step functions."""
+
+    def __init__(self, cfg: CaseConfig, grid: GridData, *, n_pad: Optional[int] = None):
+        self.cfg = cfg
+        self.dtype = jnp.float64 if cfg.numerics.dtype == "float64" else jnp.float32
+        self.n = grid.n
+        self.spacing = float(grid.spacing)
+        self.volume = grid.particle_volume(cfg.two_dimensional)
+
+        self.kernels: KernelSet = build_kernels(
+            spacing=self.spacing,
+            radius_ratio_a=cfg.radius_ratio_a,
+            radius_ratio_p=cfg.radius_ratio_p,
+            radius_ratio_v=cfg.radius_ratio_v,
+            surface_tension=cfg.surface_tension,
+            two_dimensional=cfg.two_dimensional,
+        )
+
+        dmin, dmax = adjust_domain(
+            grid.domain_min, grid.domain_max, self.spacing, cfg.two_dimensional
+        )
+        self.domain_min = tuple(dmin)
+        self.domain_max = tuple(dmax)
+        self.domain_width = tuple(dmax - dmin)
+
+        self.cell_grid: CellGrid = build_cell_grid(
+            dmin, dmax, self.kernels.support_radius,
+            two_dimensional=cfg.two_dimensional,
+        )
+
+        self.tables = fl.TypeTables.from_config(cfg, self.kernels, self.dtype)
+        (self.wall_center0, self.wall_velocity, self.wall_omega,
+         self.wall_rotation) = wl.wall_tables(cfg, self.dtype)
+
+        n_pad = n_pad if n_pad is not None else cfg.numerics.n_pad
+        self.state0: ParticleState = state_lib.make_state(
+            grid.prop, grid.position, grid.initial_position, grid.velocity,
+            time=grid.time, wall_center=np.asarray(self.wall_center0),
+            n_pad=n_pad, dtype=self.dtype,
+        )
+        self.n_pad = self.state0.n_pad
+
+        # static solid precomputation from the reference configuration
+        # (calculateInitialNeighbor + calculateNormalizer, run once at init,
+        # src/main.cpp:564, :570)
+        seg = Segments(self.state0.prop)
+        nbr0 = build_neighbor_list(
+            self.state0.pos0, seg.valid, self.cell_grid,
+            max_neighbors=cfg.numerics.max_initial_neighbors,
+            cell_capacity=cfg.numerics.cell_capacity,
+            pair_filter=lambda i, j: fl.is_structure(self.state0.prop[j]),
+        )
+        max_count0 = int(jnp.max(jnp.where(seg.structure, nbr0.count, 0)))
+        if max_count0 > cfg.numerics.max_initial_neighbors:
+            raise ValueError(
+                f"initial structure neighbor count {max_count0} exceeds "
+                f"max_initial_neighbors={cfg.numerics.max_initial_neighbors}; "
+                "raise NumericsConfig.max_initial_neighbors"
+            )
+        self.solid = sl.build_solid_static(
+            self.state0.pos0, self.state0.prop, nbr0, self.kernels,
+            self.tables, cfg.scene, self.domain_width,
+            spatial_dim=cfg.spatial_dim,
+        )
+
+        # note: only the chunked runner donates its carry; the single-step
+        # path keeps inputs alive (callers re-use state0 / inspect states)
+        self._step_jit = jax.jit(self._step)
+        self._chunk_jit = jax.jit(self._chunk, static_argnums=1, donate_argnums=0)
+        self._diag_jit = jax.jit(self._diagnostics)
+
+    # ------------------------------------------------------------------
+    def apply_initial_velocity_profile(self, state: ParticleState) -> ParticleState:
+        """Opt-in Bar-module excitation (the reference's init-time call is
+        commented out, src/main.cpp:571)."""
+        if self.cfg.scene.velocity_profile == "bar_first_mode":
+            vel = wl.bar_initial_velocity(
+                state.pos0, state.vel, state.prop, self.cfg.scene,
+                self.tables.density,
+            )
+            return state.replace(vel=vel)
+        return state
+
+    # ------------------------------------------------------------------
+    def _neighbors(self, pos, prop):
+        return build_neighbor_list(
+            pos, prop >= 0, self.cell_grid,
+            max_neighbors=self.cfg.numerics.max_neighbors,
+            cell_capacity=self.cfg.numerics.cell_capacity,
+        )
+
+    def _fluid_phase(self, pos, vel, prop):
+        """Neighbor rebuild + both fluid gather phases; returns the total
+        force and the field set (used by step and diagnostics)."""
+        cfg, ks, tables = self.cfg, self.kernels, self.tables
+        nbr = self._neighbors(pos, prop)
+        ctx = fl.make_pair_context(pos, prop, nbr, self.domain_width, tables)
+
+        da = fl.density_a(ctx, ks, prop)
+        gc = fl.gravity_center(ctx, ks, prop)
+        vs = fl.vol_strain_p(ctx, ks)
+        dvg = fl.divergence_p(ctx, ks, vel)
+        kappa, lam, mu = fl.physical_coefficients(prop, vs, tables)
+        pp = fl.pressure_p(vs, dvg, kappa, lam)
+        pa = fl.pressure_a(da, ks, prop, tables)
+
+        force = fl.pressure_p_force(ctx, ks, pp, prop, self.volume)
+        force = force + fl.pressure_a_force(ctx, ks, pa, prop, self.volume)
+        force = force + fl.diffuse_interface_force(ctx, ks, gc, prop, tables, self.volume)
+        force = force + fl.viscosity_force(
+            ctx, ks, vel, mu, prop, self.volume,
+            two_dimensional=cfg.two_dimensional,
+        )
+
+        # gravity on fluid + structure (calculateGravity, src/main.cpp:2917-2935)
+        seg = Segments(prop)
+        mass = tables.density[jnp.clip(prop, 0, 5)] * self.volume
+        fs = seg.fluid | seg.structure
+        grav = jnp.asarray(cfg.gravity, dtype=pos.dtype)
+        force = force + jnp.where(fs[:, None], mass[:, None] * grav, 0.0)
+
+        # two-way coupling load on structure (calculateInterfaceForce)
+        force = force + fl.interface_force(ctx, ks, pp, prop, self.volume)
+
+        fields = dict(
+            nbr=nbr, ctx=ctx, density_a=da, gravity_center=gc, vol_strain=vs,
+            divergence=dvg, pressure_p=pp, pressure_a=pa, mu=mu, mass=mass,
+        )
+        return force, fields
+
+    def _step(self, state: ParticleState) -> ParticleState:
+        """One full time step (the loop body of main(), src/main.cpp:592-686)."""
+        cfg = self.cfg
+        dt = cfg.dt
+        prop = state.prop
+        pos, vel, time = state.pos, state.vel, state.time
+
+        if cfg.scene.velocity_profile == "turek_inlet":
+            vel = wl.turek_inlet_velocity(pos, vel, prop, time, cfg.scene)
+
+        pos, vel, wall_center = wl.apply_wall_motion(
+            pos, vel, prop, state.wall_center, time,
+            wall_velocity=self.wall_velocity, wall_omega=self.wall_omega,
+            wall_rotation=self.wall_rotation, dt=dt, scene=cfg.scene,
+            freeze=cfg.compat.freeze_wall_motion,
+        )
+        pos = wl.periodic_wrap(pos, self.domain_min, self.domain_width)
+
+        force, fields = self._fluid_phase(pos, vel, prop)
+
+        # velocity kick for fluid + structure (calculateAcceleration,
+        # src/main.cpp:2938-2955)
+        seg = Segments(prop)
+        fs = seg.fluid | seg.structure
+        mass = fields["mass"]
+        accel = force / jnp.where(mass > 0, mass, 1.0)[:, None]
+        vel = jnp.where(fs[:, None], vel + accel * dt, vel)
+
+        # fluid drift (calculateConvection, src/main.cpp:1892-1906)
+        pos = jnp.where(seg.fluid[:, None], pos + vel * dt, pos)
+
+        # elastic substeps (src/main.cpp:653-663)
+        for _ in range(cfg.substeps):
+            pos, vel, _, _ = sl.substep(
+                pos, state.pos0, vel, prop, self.solid, self.domain_width,
+                cfg.elastic_dt,
+                double_position_update=cfg.compat.double_substep_position_update,
+            )
+
+        return state.replace(
+            pos=pos, vel=vel, wall_center=wall_center, time=time + dt
+        )
+
+    def _chunk(self, state: ParticleState, n_steps: int) -> ParticleState:
+        def body(s, _):
+            return self._step(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    # ------------------------------------------------------------------
+    def step(self, state: ParticleState) -> ParticleState:
+        return self._step_jit(state)
+
+    def run_chunk(self, state: ParticleState, n_steps: int) -> ParticleState:
+        return self._chunk_jit(state, n_steps)
+
+    def _diagnostics(self, state: ParticleState) -> dict:
+        """Output-time field recomputation (VTK fields + virial stress,
+        src/main.cpp:984-1189, 3077-3318)."""
+        prop, pos, vel = state.prop, state.pos, state.vel
+        force, fields = self._fluid_phase(pos, vel, prop)
+        f = sl.deformation_gradient(pos, state.pos0, self.solid, self.domain_width)
+        strain, stress = sl.stvk_stress(f, self.solid.lam, self.solid.mu)
+        seg = Segments(prop)
+        mass = fields["mass"]
+        accel = jnp.where(
+            seg.fluid[:, None], force / jnp.where(mass > 0, mass, 1.0)[:, None], 0.0
+        )
+        virial_stress, virial_pressure = self._virial(fields, vel, prop)
+        return dict(
+            force=force,
+            accel=accel,
+            strain=sl.pad_tensor_to3(strain),
+            stress=sl.pad_tensor_to3(stress),
+            deform_gradient=sl.pad_tensor_to3(f),
+            pressure_p=fields["pressure_p"],
+            pressure_a=fields["pressure_a"],
+            vol_strain=fields["vol_strain"],
+            density_a=fields["density_a"],
+            neighbor_count=fields["nbr"].count,
+            initial_neighbor_count=self.solid.count0,
+            cell_overflow=fields["nbr"].cell_overflow,
+            virial_stress=virial_stress,
+            virial_pressure=virial_pressure,
+            max_speed=jnp.max(
+                jnp.where(seg.valid, jnp.linalg.norm(vel, axis=1), 0.0)
+            ),
+        )
+
+    def _virial(self, fields, vel, prop):
+        """Per-particle virial stress from the four pairwise force families
+        (calculateVirialStressAtParticle, src/main.cpp:3077-3318)."""
+        ks, tables, volume = self.kernels, self.tables, self.volume
+        ctx = fields["ctx"]
+        pp, pa, gc, mu = (fields["pressure_p"], fields["pressure_a"],
+                          fields["gravity_center"], fields["mu"])
+        inv_v = 1.0 / volume
+
+        def outer_sum(coeff_vec, mask):  # sum over K of f (x) xij
+            term = coeff_vec[..., None] * ctx.xij[..., None, :]  # [N,K,3,3]
+            return jnp.sum(jnp.where(mask[..., None, None], term, 0.0), axis=1)
+
+        # pressureP: fij = P_i grad(wp) V  (src/main.cpp:3112-3127)
+        m = ctx.mask & (ks.radius_p**2 - ctx.rij2 > 0)
+        gradw = ks.dwpdr(ctx.rij)[..., None] * ctx.eij
+        stress = outer_sum(pp[:, None, None] * gradw * volume * inv_v, m)
+
+        # pressureA: fij = P_i ratio dwa e V  (src/main.cpp:3156-3172)
+        m = ctx.mask & (ks.radius_a**2 - ctx.rij2 > 0)
+        gradwa = (ctx.ratio_ij * ks.dwadr(ctx.rij))[..., None] * ctx.eij
+        stress = stress + outer_sum(pa[:, None, None] * gradwa * volume * inv_v, m)
+
+        # viscosity: half-weighted (src/main.cpp:3202-3224)
+        m = ctx.mask & (ks.radius_v**2 - ctx.rij2 > 0)
+        c = 8.0 if self.cfg.two_dimensional else 10.0
+        uij = vel[ctx.j] - vel[:, None, :]
+        udote = jnp.sum(uij * ctx.eij, axis=-1)
+        mu_i, mu_j = mu[:, None], mu[ctx.j]
+        den = mu_i + mu_j
+        mu_h = jnp.where(den > 0, 2.0 * mu_i * mu_j / jnp.where(den > 0, den, 1.0), 0.0)
+        fij = (c * mu_h * udote * (-ks.dwvdr(ctx.rij)) / ctx.rij * volume)[..., None] * ctx.eij
+        stress = stress + 0.5 * outer_sum(fij * inv_v, m)
+
+        # diffuse interface, both terms with -GravityCenter_i only
+        # (src/main.cpp:3252-3295)
+        m = ctx.mask & (ks.radius_g**2 - ctx.rij2 > 0)
+        a_i = (tables.cof_a[ctx.prop_i] * ks.cof_k**2)[:, None]
+        scale = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+        w_g = ctx.ratio_ij * ks.wg(ctx.rij)
+        f1 = -a_i[..., None] * (-gc[:, None, :]) * w_g[..., None] * scale
+        stress = stress + outer_sum(f1 * inv_v, m)
+        dw_g = ctx.ratio_ij * ks.dwgdr(ctx.rij)
+        gr = jnp.sum(-gc[:, None, :] * ctx.xij, axis=-1)
+        f2 = -(a_i * gr)[..., None] * dw_g[..., None] * ctx.eij * scale
+        stress = stress + outer_sum(f2 * inv_v, m)
+
+        d = 2.0 if self.cfg.two_dimensional else 3.0
+        vp = -jnp.trace(stress, axis1=-2, axis2=-1) / d
+        if self.cfg.two_dimensional:
+            vp = -(stress[:, 0, 0] + stress[:, 1, 1]) / 2.0
+        return stress, vp
+
+    def diagnostics(self, state: ParticleState) -> dict:
+        out = self._diag_jit(state)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def load_case(data_path, grid_path, *, scene="none", compat=None, numerics=None) -> "tuple[CaseConfig, GridData]":
+    """Convenience loader matching the reference CLI contract
+    (argv[1]=.data, argv[2]=.grid, src/main.cpp:502-507)."""
+    from particlemethod_fsi_tpu.config import SCENES
+    from particlemethod_fsi_tpu.io.data_file import parse_data_file
+    from particlemethod_fsi_tpu.io.grid_file import read_grid_file
+
+    cfg = parse_data_file(data_path)
+    scene_cfg = SCENES[scene] if isinstance(scene, str) else scene
+    updates = {"scene": scene_cfg}
+    if compat is not None:
+        updates["compat"] = compat
+    if numerics is not None:
+        updates["numerics"] = numerics
+    cfg = dataclasses.replace(cfg, **updates)
+    grid = read_grid_file(grid_path)
+    return cfg, grid
