@@ -31,7 +31,9 @@ import numpy as np
 from particlemethod_fsi_tpu import state as state_lib
 from particlemethod_fsi_tpu.config import CaseConfig
 from particlemethod_fsi_tpu.io.grid_file import GridData
+from particlemethod_fsi_tpu.ops import edge_math as em
 from particlemethod_fsi_tpu.ops import fluid as fl
+from particlemethod_fsi_tpu.ops import packed_engine as pk
 from particlemethod_fsi_tpu.ops import solid as sl
 from particlemethod_fsi_tpu.ops import walls as wl
 from particlemethod_fsi_tpu.ops.neighbors import CellGrid, build_cell_grid, build_neighbor_list
@@ -62,6 +64,7 @@ class Simulation:
         self.cfg = cfg
         self.dtype = jnp.float64 if cfg.numerics.dtype == "float64" else jnp.float32
         self.n = grid.n
+        self.has_structure = bool(np.any((grid.prop >= 2) & (grid.prop < 4)))
         self.spacing = float(grid.spacing)
         self.volume = grid.particle_volume(cfg.two_dimensional)
 
@@ -100,21 +103,10 @@ class Simulation:
 
         # static solid precomputation from the reference configuration
         # (calculateInitialNeighbor + calculateNormalizer, run once at init,
-        # src/main.cpp:564, :570)
-        seg = Segments(self.state0.prop)
-        nbr0 = build_neighbor_list(
-            self.state0.pos0, seg.valid, self.cell_grid,
-            max_neighbors=cfg.numerics.max_initial_neighbors,
-            cell_capacity=cfg.numerics.cell_capacity,
-            pair_filter=lambda i, j: fl.is_structure(self.state0.prop[j]),
-        )
-        max_count0 = int(jnp.max(jnp.where(seg.structure, nbr0.count, 0)))
-        if max_count0 > cfg.numerics.max_initial_neighbors:
-            raise ValueError(
-                f"initial structure neighbor count {max_count0} exceeds "
-                f"max_initial_neighbors={cfg.numerics.max_initial_neighbors}; "
-                "raise NumericsConfig.max_initial_neighbors"
-            )
+        # src/main.cpp:564, :570).  Initial structure neighbor lists are
+        # built host-side over the structure subset only -- setup cost scales
+        # with the structure count, not the full particle count.
+        nbr0 = self._initial_structure_neighbors(grid)
         self.solid = sl.build_solid_static(
             self.state0.pos0, self.state0.prop, nbr0, self.kernels,
             self.tables, cfg.scene, self.domain_width,
@@ -128,6 +120,70 @@ class Simulation:
         self._diag_jit = jax.jit(self._diagnostics)
 
     # ------------------------------------------------------------------
+    def _initial_structure_neighbors(self, grid: GridData):
+        """Host-side structure-structure neighbor search over InitialPosition
+        (calculateInitialNeighbor, src/main.cpp:1497-1658): same support
+        radius MaxRadius+MARGIN, periodic min-image, self excluded.  Returns
+        a NeighborList over padded slot indices."""
+        from particlemethod_fsi_tpu.ops.neighbors import NeighborList
+
+        k0 = self.cfg.numerics.max_initial_neighbors
+        n_pad = self.n_pad
+        prop = grid.prop
+        s_idx = np.nonzero((prop >= 2) & (prop < 4))[0]
+        idx = np.zeros((n_pad, k0), dtype=np.int32)
+        mask = np.zeros((n_pad, k0), dtype=bool)
+        count = np.zeros(n_pad, dtype=np.int32)
+        if s_idx.size:
+            p0 = grid.initial_position[s_idx]
+            width = np.asarray(self.domain_width)
+            dmin = np.asarray(self.domain_min)
+            support = self.kernels.support_radius
+            # periodic cell binning over the structure subset (host, float64);
+            # same wrapped-cell geometry as the device grid
+            nc = np.maximum(1, np.floor(width / support).astype(np.int64))
+            cw = width / nc
+            rel = (p0 - dmin) - width * np.floor((p0 - dmin) / width)
+            cells = np.minimum(np.floor(rel / cw).astype(np.int64), nc - 1)
+            keys = {}
+            for a, c in enumerate(map(tuple, cells)):
+                keys.setdefault(c, []).append(a)
+            offsets = [
+                (dx, dy, dz)
+                for dx in ((-1, 0, 1) if nc[0] >= 3 else range(nc[0]))
+                for dy in ((-1, 0, 1) if nc[1] >= 3 else range(nc[1]))
+                for dz in ((-1, 0, 1) if nc[2] >= 3 else range(nc[2]))
+            ]
+            r2max = support * support
+            for a in range(s_idx.size):
+                c = cells[a]
+                cand = []
+                for dx, dy, dz in offsets:
+                    cc = ((c[0] + dx) % nc[0], (c[1] + dy) % nc[1], (c[2] + dz) % nc[2])
+                    cand.extend(keys.get(cc, ()))
+                cand = np.asarray(sorted(set(b for b in cand if b != a)), dtype=np.int64)
+                if cand.size == 0:
+                    continue
+                d = p0[cand] - p0[a]
+                d -= width * np.floor(d / width + 0.5)
+                r2 = np.sum(d * d, axis=1)
+                hits = cand[r2 <= r2max]
+                i = s_idx[a]
+                count[i] = hits.size
+                if hits.size > k0:
+                    raise ValueError(
+                        f"initial structure neighbor count {hits.size} exceeds "
+                        f"max_initial_neighbors={k0}"
+                    )
+                idx[i, : hits.size] = s_idx[hits]
+                mask[i, : hits.size] = True
+        return NeighborList(
+            idx=jnp.asarray(idx),
+            mask=jnp.asarray(mask),
+            count=jnp.asarray(count),
+            cell_overflow=jnp.asarray(0, dtype=jnp.int32),
+        )
+
     def apply_initial_velocity_profile(self, state: ParticleState) -> ParticleState:
         """Opt-in Bar-module excitation (the reference's init-time call is
         commented out, src/main.cpp:571)."""
@@ -149,25 +205,40 @@ class Simulation:
 
     def _fluid_phase(self, pos, vel, prop):
         """Neighbor rebuild + both fluid gather phases; returns the total
-        force and the field set (used by step and diagnostics)."""
+        force and the field set (used by step and diagnostics).
+
+        Portable gather backend: explicit [N, K] neighbor-index matrix with
+        per-edge operands gathered by index, shared formulas from
+        ``ops/edge_math``."""
         cfg, ks, tables = self.cfg, self.kernels, self.tables
         nbr = self._neighbors(pos, prop)
         ctx = fl.make_pair_context(pos, prop, nbr, self.domain_width, tables)
+        j = ctx.j
+        geom = em.EdgeGeometry(
+            xij=ctx.xij, rij2=ctx.rij2, rij=ctx.rij, eij=ctx.eij, valid=ctx.mask
+        )
+        s_i = fl.is_structure(prop)
+        s_j = fl.is_structure(ctx.prop_j)
 
-        da = fl.density_a(ctx, ks, prop)
-        gc = fl.gravity_center(ctx, ks, prop)
-        vs = fl.vol_strain_p(ctx, ks)
-        dvg = fl.divergence_p(ctx, ks, vel)
+        da, gc, wp_sum, dvg = em.phase1_sums(
+            geom, ks, vel_i=vel[:, None, :], vel_j=vel[j], ratio_ij=ctx.ratio_ij
+        )
+        # structure receivers are skipped by the A/G ops (src/main.cpp:2149,2183)
+        da = jnp.where(s_i, 0.0, da)
+        gc = jnp.where(s_i[:, None], 0.0, gc)
+        vs = wp_sum - ks.n0p
         kappa, lam, mu = fl.physical_coefficients(prop, vs, tables)
         pp = fl.pressure_p(vs, dvg, kappa, lam)
         pa = fl.pressure_a(da, ks, prop, tables)
 
-        force = fl.pressure_p_force(ctx, ks, pp, prop, self.volume)
-        force = force + fl.pressure_a_force(ctx, ks, pa, prop, self.volume)
-        force = force + fl.diffuse_interface_force(ctx, ks, gc, prop, tables, self.volume)
-        force = force + fl.viscosity_force(
-            ctx, ks, vel, mu, prop, self.volume,
-            two_dimensional=cfg.two_dimensional,
+        force = em.phase2_force(
+            geom, ks, volume=self.volume, two_dimensional=cfg.two_dimensional,
+            receiver_is_structure=s_i, sender_is_structure=s_j,
+            pp_i=pp, pp_j=pp[j], pa_i=pa, pa_j=pa[j],
+            gc_i=gc, gc_j=gc[j], mu_i=mu, mu_j=mu[j],
+            vel_i=vel[:, None, :], vel_j=vel[j],
+            ratio_ij=ctx.ratio_ij, ratio_ji=ctx.ratio_ji,
+            cof_a_i=tables.cof_a[ctx.prop_i],
         )
 
         # gravity on fluid + structure (calculateGravity, src/main.cpp:2917-2935)
@@ -177,14 +248,32 @@ class Simulation:
         grav = jnp.asarray(cfg.gravity, dtype=pos.dtype)
         force = force + jnp.where(fs[:, None], mass[:, None] * grav, 0.0)
 
-        # two-way coupling load on structure (calculateInterfaceForce)
-        force = force + fl.interface_force(ctx, ks, pp, prop, self.volume)
-
         fields = dict(
             nbr=nbr, ctx=ctx, density_a=da, gravity_center=gc, vol_strain=vs,
             divergence=dvg, pressure_p=pp, pressure_a=pa, mu=mu, mass=mass,
         )
         return force, fields
+
+    def _force(self, pos, vel, prop):
+        """Total pairwise + body force, dispatched to the configured backend."""
+        if self.cfg.numerics.backend == "packed":
+            frame = pk.sort_frame(pos, vel, prop, self.cell_grid)
+            force_s, _ = pk.packed_fluid_forces(
+                frame, self.cell_grid, self.kernels, self.tables,
+                volume=self.volume,
+                two_dimensional=self.cfg.two_dimensional,
+                cap=self.cfg.numerics.cell_capacity,
+            )
+            # gravity on fluid + structure, in sorted order
+            sprop = frame.prop
+            seg = Segments(sprop)
+            mass_s = self.tables.density[jnp.clip(sprop, 0, 5)] * self.volume
+            fs = seg.fluid | seg.structure
+            grav = jnp.asarray(self.cfg.gravity, dtype=pos.dtype)
+            force_s = force_s + jnp.where(fs[:, None], mass_s[:, None] * grav, 0.0)
+            (force,) = pk.unsort(frame, force_s)
+            return force
+        return self._fluid_phase(pos, vel, prop)[0]
 
     def _step(self, state: ParticleState) -> ParticleState:
         """One full time step (the loop body of main(), src/main.cpp:592-686)."""
@@ -204,21 +293,22 @@ class Simulation:
         )
         pos = wl.periodic_wrap(pos, self.domain_min, self.domain_width)
 
-        force, fields = self._fluid_phase(pos, vel, prop)
+        force = self._force(pos, vel, prop)
 
         # velocity kick for fluid + structure (calculateAcceleration,
         # src/main.cpp:2938-2955)
         seg = Segments(prop)
         fs = seg.fluid | seg.structure
-        mass = fields["mass"]
+        mass = self.tables.density[jnp.clip(prop, 0, 5)] * self.volume
         accel = force / jnp.where(mass > 0, mass, 1.0)[:, None]
         vel = jnp.where(fs[:, None], vel + accel * dt, vel)
 
         # fluid drift (calculateConvection, src/main.cpp:1892-1906)
         pos = jnp.where(seg.fluid[:, None], pos + vel * dt, pos)
 
-        # elastic substeps (src/main.cpp:653-663)
-        for _ in range(cfg.substeps):
+        # elastic substeps (src/main.cpp:653-663); statically skipped when
+        # the scene has no structure particles
+        for _ in range(cfg.substeps if self.has_structure else 0):
             pos, vel, _, _ = sl.substep(
                 pos, state.pos0, vel, prop, self.solid, self.domain_width,
                 cfg.elastic_dt,
