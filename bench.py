@@ -1,0 +1,91 @@
+"""Headline benchmark: coupled 2-D dam-break-on-elastic-bar FSI throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "particle-steps/s/chip", "vs_baseline": N}
+
+The reference publishes no performance numbers (README is one line, no
+benchmarks directory -- see BASELINE.md); ``vs_baseline`` is measured
+against the north-star target of 1e8 particle-steps/s/chip (1M particles at
+>100 steps/s on one chip, /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_case(n_side: int):
+    from particlemethod_fsi_tpu.config import CaseConfig, NumericsConfig, SCENES
+    from particlemethod_fsi_tpu.generator import BoidScene, Primitive, generate_grid
+    from particlemethod_fsi_tpu.solver import Simulation
+
+    l0 = 1e-3
+    s = n_side
+    # water column (s x s), elastic bar downstream, floor + left wall
+    grid = generate_grid(BoidScene(
+        particle_distance=l0,
+        lower_domain=(-3 * l0, 0.0, 0.0),
+        upper_domain=((2 * s + 6) * l0, 2 * s * l0, l0),
+        primitives=[
+            Primitive("Cuboid", spacing=l0, type=1, lower=(0, 3 * l0, 0),
+                      upper=(s * l0, (3 + s) * l0, l0)),
+            Primitive("Cuboid", spacing=l0, type=2,
+                      lower=((s + 10) * l0, 3 * l0, 0),
+                      upper=((s + 12) * l0, (3 + s // 3) * l0, l0)),
+            Primitive("Cuboid", spacing=l0, type=4, lower=(-3 * l0, 0, 0),
+                      upper=((2 * s + 3) * l0, 3 * l0, l0)),
+            Primitive("Cuboid", spacing=l0, type=4, lower=(-3 * l0, 3 * l0, 0),
+                      upper=(0, s * l0, l0)),
+            Primitive("Cuboid", spacing=l0, type=4,
+                      lower=((2 * s) * l0, 3 * l0, 0),
+                      upper=((2 * s + 3) * l0, s * l0, l0)),
+        ],
+    ))
+    cfg = CaseConfig(
+        dt=1e-4, elastic_dt=1e-4,
+        density=(1e3, 1e3, 1.1e3, 1e3, 1e3, 6e3),
+        bulk_modulus=(1e4, 1e4, 1e4, 1e6, 1e4, 1e5),
+        bulk_viscosity=(1e1, 1e-1, 1e-1, 1e3, 1e-1, 1e2),
+        shear_viscosity=(1e-2, 1e-3, 1e-2, 1e-1, 1e3, 1e-1),
+        young_modulus=(0.0, 0.0, 1e4, 1e5, 1e8, 1e4),
+        poisson_ratio=(0.0, 0.0, 0.2, 0.4, 0.3, 0.3),
+        gravity=(0.0, -9.81, 0.0),
+        scene=SCENES["dam"],
+        numerics=NumericsConfig(backend="packed", cell_capacity=8),
+    )
+    return Simulation(cfg, grid)
+
+
+def main():
+    sim = build_case(n_side=350)  # ~190k particles coupled FSI
+    n = sim.n
+
+    state = sim.run_chunk(sim.state0, 10)  # compile + warm up
+    state.pos.block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        state = sim.run_chunk(state, 20)
+        state.pos.block_until_ready()
+        times.append((time.time() - t0) / 20)
+    step_s = float(np.median(times))
+    value = n / step_s
+    vs_baseline = value / 1.0e8
+
+    print(json.dumps({
+        "metric": f"particle-steps/s/chip, {n}-particle 2-D dam-break FSI "
+                  f"(coupled fluid+elastic bar), packed backend",
+        "value": round(value, 1),
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "step_ms": round(step_s * 1000, 3),
+        "particles": n,
+    }))
+
+
+if __name__ == "__main__":
+    main()

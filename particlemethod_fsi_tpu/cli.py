@@ -49,17 +49,35 @@ def build_parser():
     p.add_argument("--apply-velocity-profile", action="store_true",
                    help="apply the scene's initial velocity profile at t=0")
     p.add_argument("--metrics", default=None, help="JSONL step-metrics path")
-    p.add_argument("--no-compile-cache", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force a JAX platform (default: environment)")
+    p.add_argument("--backend", default=None, choices=["packed", "gather"],
+                   help="pairwise engine backend")
+    p.add_argument("--checkpoint", default=None,
+                   help="binary checkpoint path pattern (e.g. ck%%03d.npz)")
+    p.add_argument("--restore", default=None, help="resume from a .npz checkpoint")
+    p.add_argument("--no-watchdog", action="store_true",
+                   help="disable the NaN/blow-up watchdog")
     return p
 
 
 def run(args) -> int:
+    if args.platform:
+        import jax
+
+        platform = {"tpu": "axon"}.get(args.platform, args.platform)
+        jax.config.update("jax_platforms", platform)
     log = RunLog(args.log, args.metrics)
     log.printf("start reading files at %s\n", _time.ctime())
     cfg, grid = load_case(args.data, args.grid, scene=args.scene)
+    numerics_updates = {}
     if args.dtype:
+        numerics_updates["dtype"] = args.dtype
+    if args.backend:
+        numerics_updates["backend"] = args.backend
+    if numerics_updates:
         cfg = cfg.replace(numerics=cfg.numerics.__class__(
-            **{**cfg.numerics.__dict__, "dtype": args.dtype}))
+            **{**cfg.numerics.__dict__, **numerics_updates}))
     if args.end_time is not None:
         cfg = cfg.replace(end_time=args.end_time)
 
@@ -77,6 +95,17 @@ def run(args) -> int:
     state = sim.state0
     if args.apply_velocity_profile:
         state = sim.apply_initial_velocity_profile(state)
+    if args.restore:
+        from particlemethod_fsi_tpu.utils.checkpoint import load_checkpoint
+
+        state, _, _ = load_checkpoint(args.restore, dtype=sim.dtype)
+        grid.time = float(state.time)
+        log.printf("restored checkpoint %s at t=%e\n", args.restore, grid.time)
+
+    from particlemethod_fsi_tpu.utils.watchdog import check_state, sound_speed_bound
+
+    speed_limit = 2.0 * max(sound_speed_bound(cfg), 1.0)
+    last_good = None  # (state, time, i_step)
 
     dt = cfg.dt
     time = grid.time
@@ -123,8 +152,28 @@ def run(args) -> int:
     t_start = _time.time()
     while time < cfg.end_time + eps:
         t0 = _time.time()
+        # failure detection at every output boundary (the reference has
+        # none; see utils/watchdog.py)
+        if not args.no_watchdog:
+            rep = check_state(
+                state.pos, state.vel, np.asarray(state.prop) >= 0,
+                speed_limit=speed_limit,
+            )
+            if not rep.ok:
+                log.printf("WATCHDOG: %s at t=%e\n", rep.reason, time)
+                if last_good is not None:
+                    state, time, i_step = last_good
+                    log.printf("WATCHDOG: rolled back to t=%e; aborting run\n", time)
+                write_grid_file(snapshot(), args.prof % i_step)
+                log.close()
+                return 2
         if time + eps >= output_next:
             write_grid_file(snapshot(), args.prof % i_step)
+            if args.checkpoint:
+                from particlemethod_fsi_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(args.checkpoint % i_step, state, n=grid.n)
+            last_good = (state, time, i_step)
             log.printf("@ Prof Output Time : %e\n", time)
             output_next += cfg.output_interval
         if time + eps >= vtk_next:

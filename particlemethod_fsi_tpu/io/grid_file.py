@@ -39,26 +39,47 @@ class GridData:
         return float(self.spacing) ** d
 
 
-def read_grid_file(path) -> GridData:
-    with open(path) as f:
+def read_grid_file(path, *, use_native: bool = True) -> GridData:
+    with open(path, "rb") as f:
         time = float(f.readline().split()[0])
         header = f.readline().split()
         n = int(header[0])
         spacing = float(header[1])
         dmin = np.array([float(header[2]), float(header[4]), float(header[6])])
         dmax = np.array([float(header[3]), float(header[5]), float(header[7])])
-        body = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
-    if body.shape != (n, 10):
-        raise ValueError(f"grid file {path}: expected {n}x10 body, got {body.shape}")
+        body_bytes = f.read()
+
+    parsed = None
+    if use_native:
+        from particlemethod_fsi_tpu.io import native
+
+        try:
+            parsed = native.parse_grid_body(body_bytes, n)
+        except Exception:
+            parsed = None
+    if parsed is not None:
+        prop, pos, pos0, vel = parsed
+    else:
+        body = np.loadtxt(
+            body_bytes.decode().splitlines(), dtype=np.float64, max_rows=n, ndmin=2
+        )
+        if body.shape != (n, 10):
+            raise ValueError(
+                f"grid file {path}: expected {n}x10 body, got {body.shape}"
+            )
+        prop = body[:, 0].astype(np.int32)
+        pos = np.ascontiguousarray(body[:, 1:4])
+        pos0 = np.ascontiguousarray(body[:, 4:7])
+        vel = np.ascontiguousarray(body[:, 7:10])
     return GridData(
         time=time,
         spacing=spacing,
         domain_min=dmin,
         domain_max=dmax,
-        prop=body[:, 0].astype(np.int32),
-        position=np.ascontiguousarray(body[:, 1:4]),
-        initial_position=np.ascontiguousarray(body[:, 4:7]),
-        velocity=np.ascontiguousarray(body[:, 7:10]),
+        prop=prop,
+        position=pos,
+        initial_position=pos0,
+        velocity=vel,
     )
 
 
@@ -68,8 +89,24 @@ def write_grid_file(grid: GridData, path, *, generator_style: bool = False) -> N
     ``generator_style=True`` reproduces the generator's header/row formatting
     (``%lf`` time, triple-space separators, Position duplicated as
     InitialPosition, ``generator/generator.cpp:839-862``); the default mirrors
-    the solver's ``writeProfFile`` formatting (src/main.cpp:961-978).
+    the solver's ``writeProfFile`` formatting (src/main.cpp:961-978) and uses
+    the native C++ writer when built.
     """
+    if not generator_style:
+        from particlemethod_fsi_tpu.io import native
+
+        try:
+            if native.write_grid(
+                path, time=grid.time, spacing=grid.spacing,
+                domain_min=grid.domain_min, domain_max=grid.domain_max,
+                prop=grid.prop, pos=grid.position,
+                pos0=grid.initial_position, vel=grid.velocity,
+            ):
+                return
+        except IOError:
+            raise
+        except Exception:
+            pass
     with open(path, "w") as f:
         if generator_style:
             f.write(f"{grid.time:f}\n")

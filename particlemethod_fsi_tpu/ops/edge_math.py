@@ -3,14 +3,20 @@
 The reference implements each fluid op as its own GPU kernel looping over a
 ragged neighbor list (``/root/reference/src/main.cpp:2141-2522``).  Here the
 *math* lives in backend-agnostic functions over already-gathered edge
-operands, so the portable gather backend (``ops/fluid.py``), the packed
-sorted-candidate TPU backend (``ops/packed_engine.py``), and future Pallas
-kernels all evaluate byte-identical formulas.
+operands, so the portable gather backend, the packed sorted-candidate TPU
+backend, and future Pallas kernels all evaluate byte-identical formulas.
 
-Shapes: every operand is ``[..., E]`` (edge axis last unless noted);
-``*_i`` denotes the receiver value broadcast over edges, ``*_j`` the gathered
-sender value.  ``valid`` masks padded / out-of-radius edges; every formula
-is written so masked edges contribute exactly zero.
+LAYOUT RULE (TPU): XLA tiles the last two dims of every materialized buffer
+to (8 sublanes, 128 lanes), so an ``[N, M, 3]`` intermediate pads 3 -> 128
+(a 42x memory blowup at scale).  All edge quantities therefore keep the edge
+axis LAST and carry vector components on a LEADING axis:
+
+* scalars per edge: ``[N, M]``  (M -> 128-lane pad only, ~1.8x at M = 72)
+* vectors per edge: ``[3, N, M]``  (leading component axis is untiled)
+* per-receiver vectors: ``[3, N]`` (broadcast as ``v[:, :, None]``)
+
+``valid`` masks padded / out-of-radius edges; every formula is written so
+masked edges contribute exactly zero.
 """
 
 from __future__ import annotations
@@ -24,21 +30,22 @@ from particlemethod_fsi_tpu.ops.smoothing import KernelSet
 
 
 class EdgeGeometry(NamedTuple):
-    """Minimum-image edge geometry."""
+    """Minimum-image edge geometry, component-major."""
 
-    xij: jax.Array  # [..., E, 3] x_j - x_i
-    rij2: jax.Array  # [..., E]
-    rij: jax.Array  # [..., E], 1 where invalid (division-safe)
-    eij: jax.Array  # [..., E, 3] unit vector, 0 where invalid
-    valid: jax.Array  # [..., E] bool
+    xij: jax.Array  # [3, N, M] x_j - x_i
+    rij2: jax.Array  # [N, M]
+    rij: jax.Array  # [N, M], 1 where invalid (division-safe)
+    eij: jax.Array  # [3, N, M] unit vector, 0 where invalid
+    valid: jax.Array  # [N, M] bool
 
 
 def make_geometry(xij, valid) -> EdgeGeometry:
-    xij = jnp.where(valid[..., None], xij, 0.0)
-    rij2 = jnp.sum(xij * xij, axis=-1)
+    """xij: [3, N, M] raw (already min-imaged) separations."""
+    xij = jnp.where(valid[None], xij, 0.0)
+    rij2 = jnp.sum(xij * xij, axis=0)
     ok = valid & (rij2 > 0)
     rij = jnp.sqrt(jnp.where(ok, rij2, 1.0))
-    eij = jnp.where(ok[..., None], xij / rij[..., None], 0.0)
+    eij = jnp.where(ok[None], xij / rij[None], 0.0)
     return EdgeGeometry(xij=xij, rij2=rij2, rij=rij, eij=eij, valid=valid)
 
 
@@ -57,22 +64,23 @@ def _within(g: EdgeGeometry, radius: float, *, strict: bool):
 def phase1_sums(g: EdgeGeometry, ks: KernelSet, *, vel_i, vel_j, ratio_ij):
     """Edge reductions for all four density-type fields in one pass.
 
-    Returns (density_a, gravity_center[...,3], wp_sum, divergence) reduced
-    over the edge axis.  Receiver-side masking (structure receivers get
-    zero density_a / gravity_center) is applied by the caller.
+    vel_i: [3, N] receiver velocities; vel_j: [3, N, M].
+    Returns (density_a [N], gravity_center [3, N], wp_sum [N],
+    divergence [N]).  Receiver-side masking (structure receivers get zero
+    density_a / gravity_center) is applied by the caller.
     """
     m_a = _within(g, ks.radius_a, strict=False)
     density_a = jnp.sum(jnp.where(m_a, ratio_ij * ks.wa(g.rij), 0.0), axis=-1)
 
     m_g = _within(g, ks.radius_g, strict=False)
     w_gc = jnp.where(m_g, ratio_ij * ks.wg(g.rij) / ks.r2g * ks.radius_g, 0.0)
-    gravity_center = jnp.sum(g.xij * w_gc[..., None], axis=-2)
+    gravity_center = jnp.sum(g.xij * w_gc[None], axis=-1)  # [3, N]
 
     m_p = _within(g, ks.radius_p, strict=False)
     wp_sum = jnp.sum(jnp.where(m_p, ks.wp(g.rij), 0.0), axis=-1)
 
-    uij = vel_j - vel_i
-    udote = jnp.sum(uij * g.eij, axis=-1)
+    uij = vel_j - vel_i[:, :, None]  # [3, N, M]
+    udote = jnp.sum(uij * g.eij, axis=0)  # [N, M]
     divergence = -jnp.sum(jnp.where(m_p, udote * ks.dwpdr(g.rij), 0.0), axis=-1)
 
     return density_a, gravity_center, wp_sum, divergence
@@ -88,25 +96,25 @@ def phase2_force(
     *,
     volume: float,
     two_dimensional: bool,
-    receiver_is_structure,  # [...] bool
-    sender_is_structure,  # [..., E] bool
-    pp_i, pp_j,
+    receiver_is_structure,  # [N] bool
+    sender_is_structure,  # [N, M] bool
+    pp_i, pp_j,  # [N] / [N, M]
     pa_i, pa_j,
-    gc_i, gc_j,  # [..., 3] / [..., E, 3]
+    gc_i, gc_j,  # [3, N] / [3, N, M]
     mu_i, mu_j,
-    vel_i, vel_j,
-    ratio_ij, ratio_ji,
-    cof_a_i,  # [...] CofA[prop_i]
+    vel_i, vel_j,  # [3, N] / [3, N, M]
+    ratio_ij, ratio_ji,  # [N, M]
+    cof_a_i,  # [N] CofA[prop_i]
 ):
-    """Total per-receiver pairwise force: pressureP + pressureA + diffuse
-    interface + viscosity on non-structure receivers, plus the FSI interface
-    load on structure receivers.  One fused edge pass."""
-    rs = receiver_is_structure[..., None]  # [..., 1] over edge axis
+    """Total per-receiver pairwise force [3, N]: pressureP + pressureA +
+    diffuse interface + viscosity on non-structure receivers, plus the FSI
+    interface load on structure receivers.  One fused edge pass."""
+    rs = receiver_is_structure[:, None]  # [N, 1]
 
     # pressureP force (calculatePressureP 2nd loop, :2394-2424)
     m_p = _within(g, ks.radius_p, strict=True)
     dwp = ks.dwpdr(g.rij)
-    coeff_pp = (pp_i[..., None] + pp_j) * dwp * volume
+    coeff_pp = (pp_i[:, None] + pp_j) * dwp * volume
     f_pp = jnp.where(m_p & ~rs, coeff_pp, 0.0)
 
     # FSI interface load (calculateInterfaceForce, :2439-2472): structure
@@ -116,41 +124,40 @@ def phase2_force(
     # pressureA force (:2225-2258)
     m_a = _within(g, ks.radius_a, strict=True)
     dwa = ks.dwadr(g.rij)
-    coeff_pa = (pa_i[..., None] * ratio_ij + pa_j * ratio_ji) * dwa * volume
+    coeff_pa = (pa_i[:, None] * ratio_ij + pa_j * ratio_ji) * dwa * volume
     f_pa = jnp.where(m_a & ~rs, coeff_pa, 0.0)
 
     # viscosity (:2478-2522)
     m_v = _within(g, ks.radius_v, strict=True)
     c_v = 8.0 if two_dimensional else 10.0
-    uij = vel_j - vel_i
-    udote = jnp.sum(uij * g.eij, axis=-1)
-    mu_den = mu_i[..., None] + mu_j
-    mu_h = jnp.where(mu_den > 0, 2.0 * mu_i[..., None] * mu_j
-                     / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
+    uij = vel_j - vel_i[:, :, None]
+    udote = jnp.sum(uij * g.eij, axis=0)
+    mu_den = mu_i[:, None] + mu_j
+    mu_h = jnp.where(
+        mu_den > 0, 2.0 * mu_i[:, None] * mu_j / jnp.where(mu_den > 0, mu_den, 1.0), 0.0
+    )
     coeff_v = c_v * mu_h * udote * (-ks.dwvdr(g.rij)) / g.rij * volume
     f_v = jnp.where(m_v & ~rs, coeff_v, 0.0)
 
-    # radial force components accumulate on eij
-    radial = (f_pp + f_if + f_pa + f_v)[..., None] * g.eij
+    # radial contributions accumulate on eij
+    radial = (f_pp + f_if + f_pa + f_v)[None] * g.eij  # [3, N, M]
 
     # diffuse interface, two terms (:2261-2312); note both a_i and a_j use
     # CofA[prop_i] in the reference (:2270, :2275)
     m_g = _within(g, ks.radius_g, strict=True)
-    a_i = (cof_a_i * ks.cof_k * ks.cof_k)[..., None]  # [..., 1]
+    a_i = (cof_a_i * ks.cof_k * ks.cof_k)[:, None]  # [N, 1]
     scale = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
     w_g = ks.wg(g.rij)
     wij = ratio_ij * w_g
     wji = ratio_ji * w_g
-    term1 = a_i[..., None] * (gc_j * wji[..., None] - gc_i[..., None, :] * wij[..., None]) * scale
+    gc_diff_w = gc_j * wji[None] - gc_i[:, :, None] * wij[None]  # [3, N, M]
+    term1 = a_i[None] * gc_diff_w * scale
     dw_g = ks.dwgdr(g.rij)
     dwij = ratio_ij * dw_g
     dwji = ratio_ji * dw_g
-    gr = jnp.sum(
-        a_i[..., None] * (gc_j * dwji[..., None] - gc_i[..., None, :] * dwij[..., None]) * g.xij,
-        axis=-1,
-    )
-    term2 = gr[..., None] * g.eij * scale
-    mask_di = (m_g & ~rs)[..., None]
-    f_di = -jnp.where(mask_di, term1 + term2, 0.0)
+    gc_diff_dw = gc_j * dwji[None] - gc_i[:, :, None] * dwij[None]
+    gr = jnp.sum(a_i[None] * gc_diff_dw * g.xij, axis=0)  # [N, M]
+    term2 = gr[None] * g.eij * scale
+    f_di = -jnp.where((m_g & ~rs)[None], term1 + term2, 0.0)
 
-    return jnp.sum(radial + f_di, axis=-2)  # reduce edge axis -> [..., 3]
+    return jnp.sum(radial + f_di, axis=-1)  # [3, N]

@@ -100,12 +100,16 @@ def sort_frame(pos, vel, prop, grid: CellGrid) -> SortedFrame:
 
 
 def _build_table(frame: SortedFrame, packed, grid: CellGrid, cap: int):
-    """Dense [ncells, cap, W] table of packed rows; empty slots get id -1.
+    """Dense FIELD-MAJOR cell table ``[ncells, W*cap]`` with lane order
+    ``f*cap + r`` (field f of cell-rank r); empty slots get id -1.
 
     Sources are contiguous runs ``cell_start[c] + r`` -- one row-gather per
-    slot."""
+    slot.  Field-major lanes let candidate consumers extract each field as a
+    CONTIGUOUS lane slice, avoiding [.., cap, W]-shaped intermediates whose
+    small trailing dims would be (8,128)-tile padded by XLA (see the layout
+    rule in ops/edge_math.py)."""
     ncells = grid.num_cells
-    n = packed.shape[0]
+    n, w = packed.shape
     start = frame.cell_start[:-1]  # [ncells]
     count = frame.cell_start[1:] - start
     r = jnp.arange(cap, dtype=jnp.int32)
@@ -114,32 +118,188 @@ def _build_table(frame: SortedFrame, packed, grid: CellGrid, cap: int):
     filled = r[None, :] < count[:, None]
     # poison the id lane (last) on empty slots
     id_lane = jnp.where(filled, rows[..., -1], -1.0)
-    return jnp.concatenate([rows[..., :-1], id_lane[..., None]], axis=-1)
-
-
-def _candidates(frame: SortedFrame, table, grid: CellGrid, cap: int, w: int):
-    """[N, M*cap, W] candidate rows from the wrapped cell neighborhood --
-    M row-gathers of cap*W-lane rows per particle."""
-    nc = jnp.asarray(grid.cell_count, dtype=jnp.int32)
-    nx, ny, _ = grid.cell_count
-    flat = table.reshape(grid.num_cells, cap * w)
-    out = []
-    for off in grid.offsets:
-        oc = (frame.coords + jnp.asarray(off, dtype=jnp.int32)) % nc
-        ocell = oc[:, 0] + nx * (oc[:, 1] + ny * oc[:, 2])
-        out.append(flat[ocell])  # [N, cap*w]
-    cand = jnp.stack(out, axis=1)  # [N, M, cap*w]
-    return cand.reshape(cand.shape[0], len(grid.offsets) * cap, w)
+    rows = jnp.concatenate([rows[..., :-1], id_lane[..., None]], axis=-1)
+    # [ncells, cap, W] -> [ncells, W, cap] -> [ncells, W*cap]; the table is
+    # small (~N rows total), so this transpose is cheap
+    return rows.transpose(0, 2, 1).reshape(ncells, w * cap)
 
 
 def _is_structure_lane(prop_lane):
     return (prop_lane >= STRUCTURE_BEGIN) & (prop_lane < STRUCTURE_END)
 
 
-def _onehot_prop(prop_lane):
-    """[..., 6] one-hot of the sender prop lane (float compare, no gather)."""
-    t = jnp.arange(TYPE_COUNT, dtype=prop_lane.dtype)
-    return (prop_lane[..., None] == t).astype(prop_lane.dtype)
+def _ratio_lookup(ir_rows, prop_j):
+    """InteractionRatio lookup without element gathers: per-receiver table
+    row [R, 6] dotted against a 6-way one-hot of the sender prop lane.
+    prop_j: [R, M] -> [R, M]."""
+    out = jnp.zeros_like(prop_j)
+    for t in range(TYPE_COUNT):
+        out = out + jnp.where(prop_j == t, ir_rows[:, t : t + 1], 0.0)
+    return out
+
+
+class ReceiverView(NamedTuple):
+    """A (possibly sharded) slice of the sorted frame acting as receivers.
+    Senders always come from the full frame's cell tables."""
+
+    pos: jax.Array  # [R,3]
+    vel: jax.Array  # [R,3]
+    prop: jax.Array  # [R] int32
+    coords: jax.Array  # [R,3] cell coords
+    ids: jax.Array  # [R] global sorted indices (for self-exclusion)
+
+
+def receivers_of(frame: SortedFrame, start=0, count: int | None = None) -> ReceiverView:
+    n = frame.pos.shape[0]
+    count = n if count is None else count
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, count, axis=0)
+    ids = start + jnp.arange(count, dtype=jnp.int32)
+    return ReceiverView(
+        pos=sl(frame.pos), vel=sl(frame.vel), prop=sl(frame.prop),
+        coords=sl(frame.coords), ids=ids,
+    )
+
+
+class CandidateFields:
+    """Field extractor over gathered candidate rows.
+
+    ``raw`` is [R, n_off, W*cap] with FIELD-MAJOR lanes (f*cap + r); field f
+    is a contiguous lane slice reshaped to the flat edge axis [R, M],
+    M = n_off*cap.  All downstream edge arrays keep the edge axis last (see
+    the layout rule in ops/edge_math.py)."""
+
+    def __init__(self, raw, cap: int, w: int):
+        self.raw = raw
+        self.cap = cap
+        self.w = w
+        self.r = raw.shape[0]
+        self.m = raw.shape[1] * cap
+
+    def field(self, f: int):
+        out = jax.lax.slice_in_dim(self.raw, f * self.cap, (f + 1) * self.cap, axis=2)
+        return out.reshape(self.r, self.m)
+
+    def vec(self, f0: int):
+        """[3, R, M] from three consecutive fields."""
+        return jnp.stack([self.field(f0 + d) for d in range(3)], axis=0)
+
+
+def _receiver_candidates(frame, rv: ReceiverView, packed, grid, cap, w):
+    """Gather candidate packed rows for the receiver view and build edge
+    geometry.  One row-gather of (W*cap)-lane rows per neighborhood offset."""
+    table = _build_table(frame, packed, grid, cap)  # [ncells, W*cap]
+    nc = jnp.asarray(grid.cell_count, dtype=jnp.int32)
+    nx, ny, _ = grid.cell_count
+    out = []
+    for off in grid.offsets:
+        oc = (rv.coords + jnp.asarray(off, dtype=jnp.int32)) % nc
+        ocell = oc[:, 0] + nx * (oc[:, 1] + ny * oc[:, 2])
+        out.append(table[ocell])
+    cand = CandidateFields(jnp.stack(out, axis=1), cap, w)  # [R, n_off, W*cap]
+
+    idsf = rv.ids.astype(rv.pos.dtype)
+    id_j = cand.field(w - 1)  # [R, M]
+    valid = (id_j >= 0) & (id_j != idsf[:, None])
+    pos_i = rv.pos.T  # [3, R]
+    dw = jnp.asarray(grid.domain_width, dtype=rv.pos.dtype)[:, None, None]
+    xij = min_image(cand.vec(0) - pos_i[:, :, None], dw)
+    # candidate radius guard (MaxRadius+MARGIN, src/main.cpp:1765) so that
+    # edge sets match the portable backend exactly
+    geom = em.make_geometry(xij, valid)
+    geom = geom._replace(valid=geom.valid & (geom.rij2 <= grid.support**2))
+    return cand, geom
+
+
+def _type_rows(rv: ReceiverView, tables: TypeTables):
+    prop_i = jnp.clip(rv.prop, 0, TYPE_COUNT - 1)
+    return (
+        prop_i,
+        tables.interaction_ratio[prop_i],  # ratio[prop_i, :]
+        tables.interaction_ratio.T[prop_i],  # ratio[:, prop_i]
+        tables.cof_a[prop_i],
+        _is_structure_lane(rv.prop),
+    )
+
+
+def phase1_fields(
+    frame: SortedFrame, rv: ReceiverView, grid: CellGrid, ks: KernelSet,
+    tables: TypeTables, *, cap: int,
+) -> dict:
+    """Densities + per-particle EOS for the receiver view (calculateDensityA/
+    GravityCenter/DensityP/DivergenceP + calculatePhysicalCoefficients +
+    both EOS loops, src/main.cpp:2099-2425 first halves)."""
+    n = frame.pos.shape[0]
+    dtype = frame.pos.dtype
+    packed1 = jnp.concatenate(
+        [frame.pos, frame.vel, frame.prop.astype(dtype)[:, None],
+         jnp.arange(n, dtype=dtype)[:, None]], axis=1
+    )  # [N, W1]
+    cand1, geom = _receiver_candidates(frame, rv, packed1, grid, cap, W1)
+    prop_i, ir_row, ir_col, cof_a_i, s_i = _type_rows(rv, tables)
+
+    ratio_ij = _ratio_lookup(ir_row, cand1.field(6))
+
+    da, gc_c, wp_sum, dvg = em.phase1_sums(
+        geom, ks, vel_i=rv.vel.T, vel_j=cand1.vec(3), ratio_ij=ratio_ij,
+    )
+    da = jnp.where(s_i, 0.0, da)
+    gc = jnp.where(s_i[:, None], 0.0, gc_c.T)  # [R, 3]
+    vs = wp_sum - ks.n0p
+
+    kappa = jnp.where(vs < 0.0, 0.0, tables.bulk_modulus[prop_i])
+    lam = tables.bulk_viscosity[prop_i]
+    mu = tables.shear_viscosity[prop_i]
+    pp = -lam * dvg + jnp.where(vs > 0.0, kappa * vs, 0.0)
+    pa = cof_a_i * (da - ks.n0a) / ks.spacing
+    pa = jnp.where(da >= ks.n0a, 0.0, pa)
+
+    return dict(
+        density_a=da, gravity_center=gc, vol_strain=vs, divergence=dvg,
+        pressure_p=pp, pressure_a=pa, mu=mu,
+        neighbor_count=jnp.sum(geom.valid, axis=1).astype(jnp.int32),
+        cell_overflow=jnp.max(frame.cell_start[1:] - frame.cell_start[:-1]),
+    )
+
+
+def phase2_forces(
+    frame: SortedFrame, rv: ReceiverView, sender_fields: dict,
+    receiver_fields: dict, grid: CellGrid, ks: KernelSet, tables: TypeTables,
+    *, volume: float, two_dimensional: bool, cap: int,
+):
+    """Pairwise forces for the receiver view.  ``sender_fields`` carries
+    pp/pa/gc/mu for ALL sorted particles (all-gathered across shards in
+    multi-chip runs); ``receiver_fields`` the receiver-local fields."""
+    n = frame.pos.shape[0]
+    dtype = frame.pos.dtype
+    # 14 live lanes (pos3 pp pa gc3 mu vel3 prop id); pad to W2
+    pad = jnp.zeros((n, W2 - 14), dtype=dtype)
+    packed2 = jnp.concatenate(
+        [frame.pos, sender_fields["pressure_p"][:, None],
+         sender_fields["pressure_a"][:, None], sender_fields["gravity_center"],
+         sender_fields["mu"][:, None], frame.vel,
+         frame.prop.astype(dtype)[:, None], pad,
+         jnp.arange(n, dtype=dtype)[:, None]], axis=1
+    )  # [N, W2]
+    cand2, geom2 = _receiver_candidates(frame, rv, packed2, grid, cap, W2)
+    prop_i, ir_row, ir_col, cof_a_i, s_i = _type_rows(rv, tables)
+
+    prop_j = cand2.field(12)
+    ratio_ij = _ratio_lookup(ir_row, prop_j)
+    ratio_ji = _ratio_lookup(ir_col, prop_j)
+
+    force_c = em.phase2_force(
+        geom2, ks, volume=volume, two_dimensional=two_dimensional,
+        receiver_is_structure=s_i,
+        sender_is_structure=_is_structure_lane(prop_j),
+        pp_i=receiver_fields["pressure_p"], pp_j=cand2.field(3),
+        pa_i=receiver_fields["pressure_a"], pa_j=cand2.field(4),
+        gc_i=receiver_fields["gravity_center"].T, gc_j=cand2.vec(5),
+        mu_i=receiver_fields["mu"], mu_j=cand2.field(8),
+        vel_i=rv.vel.T, vel_j=cand2.vec(9),
+        ratio_ij=ratio_ij, ratio_ji=ratio_ji,
+        cof_a_i=cof_a_i,
+    )
+    return force_c.T  # [R, 3]
 
 
 def packed_fluid_forces(
@@ -152,101 +312,13 @@ def packed_fluid_forces(
     two_dimensional: bool,
     cap: int,
 ):
-    """Both fluid phases over packed candidates.  Returns per-particle
-    (force, fields) in SORTED order."""
-    n = frame.pos.shape[0]
-    dtype = frame.pos.dtype
-    propf = frame.prop.astype(dtype)
-    iotaf = jnp.arange(n, dtype=dtype)
-    prop_i = jnp.clip(frame.prop, 0, TYPE_COUNT - 1)
-    s_i = (frame.prop >= STRUCTURE_BEGIN) & (frame.prop < STRUCTURE_END)
-
-    # receiver-side type rows (N row-gathers from tiny tables)
-    ir_row = tables.interaction_ratio[prop_i]  # [N,6]  ratio[prop_i, :]
-    ir_col = tables.interaction_ratio.T[prop_i]  # [N,6]  ratio[:, prop_i]
-    cof_a_i = tables.cof_a[prop_i]
-
-    # ---- phase 1 ----------------------------------------------------------
-    packed1 = jnp.concatenate(
-        [frame.pos, frame.vel, propf[:, None], iotaf[:, None]], axis=1
-    )  # [N, W1]
-    table1 = _build_table(frame, packed1, grid, cap)
-    cand1 = _candidates(frame, table1, grid, cap, W1)  # [N, M, W1]
-
-    pos_j = cand1[..., 0:3]
-    vel_j = cand1[..., 3:6]
-    prop_j = cand1[..., 6]
-    id_j = cand1[..., 7]
-    valid = (id_j >= 0) & (id_j != iotaf[:, None])
-    xij = min_image(pos_j - frame.pos[:, None, :], grid.domain_width)
-    # candidate radius guard (MaxRadius+MARGIN, src/main.cpp:1765) so that
-    # edge sets match the portable backend exactly
-    geom = em.make_geometry(xij, valid)
-    geom = geom._replace(valid=geom.valid & (geom.rij2 <= grid.support**2))
-
-    onehot_j = _onehot_prop(prop_j)  # [N, M, 6]
-    ratio_ij = jnp.einsum("nt,nmt->nm", ir_row, onehot_j)
-    ratio_ji = jnp.einsum("nt,nmt->nm", ir_col, onehot_j)
-
-    da, gc, wp_sum, dvg = em.phase1_sums(
-        geom, ks, vel_i=frame.vel[:, None, :], vel_j=vel_j, ratio_ij=ratio_ij
-    )
-    da = jnp.where(s_i, 0.0, da)
-    gc = jnp.where(s_i[:, None], 0.0, gc)
-    vs = wp_sum - ks.n0p
-
-    # per-particle coefficients + EOS (src/main.cpp:2099-2137, 2387-2392,
-    # 2218-2223)
-    kappa = jnp.where(vs < 0.0, 0.0, tables.bulk_modulus[prop_i])
-    lam = tables.bulk_viscosity[prop_i]
-    mu = tables.shear_viscosity[prop_i]
-    pp = -lam * dvg + jnp.where(vs > 0.0, kappa * vs, 0.0)
-    pa = cof_a_i * (da - ks.n0a) / ks.spacing
-    pa = jnp.where(da >= ks.n0a, 0.0, pa)
-
-    # ---- phase 2 ----------------------------------------------------------
-    # 14 live lanes (pos3 pp pa gc3 mu vel3 prop id); pad to W2
-    pad = jnp.zeros((n, W2 - 14), dtype=dtype)
-    packed2 = jnp.concatenate(
-        [frame.pos, pp[:, None], pa[:, None], gc, mu[:, None],
-         frame.vel, propf[:, None], pad, iotaf[:, None]], axis=1
-    )  # [N, W2] (id lane last)
-    table2 = _build_table(frame, packed2, grid, cap)
-    cand2 = _candidates(frame, table2, grid, cap, W2)
-
-    pos_j2 = cand2[..., 0:3]
-    pp_j = cand2[..., 3]
-    pa_j = cand2[..., 4]
-    gc_j = cand2[..., 5:8]
-    mu_j = cand2[..., 8]
-    vel_j2 = cand2[..., 9:12]
-    prop_j2 = cand2[..., 12]
-    id_j2 = cand2[..., W2 - 1]
-    valid2 = (id_j2 >= 0) & (id_j2 != iotaf[:, None])
-    xij2 = min_image(pos_j2 - frame.pos[:, None, :], grid.domain_width)
-    geom2 = em.make_geometry(xij2, valid2)
-    geom2 = geom2._replace(valid=geom2.valid & (geom2.rij2 <= grid.support**2))
-
-    onehot_j2 = _onehot_prop(prop_j2)
-    ratio_ij2 = jnp.einsum("nt,nmt->nm", ir_row, onehot_j2)
-    ratio_ji2 = jnp.einsum("nt,nmt->nm", ir_col, onehot_j2)
-
-    force = em.phase2_force(
-        geom2, ks, volume=volume, two_dimensional=two_dimensional,
-        receiver_is_structure=s_i,
-        sender_is_structure=_is_structure_lane(prop_j2),
-        pp_i=pp, pp_j=pp_j, pa_i=pa, pa_j=pa_j,
-        gc_i=gc, gc_j=gc_j, mu_i=mu, mu_j=mu_j,
-        vel_i=frame.vel[:, None, :], vel_j=vel_j2,
-        ratio_ij=ratio_ij2, ratio_ji=ratio_ji2,
-        cof_a_i=cof_a_i,
-    )
-
-    fields = dict(
-        density_a=da, gravity_center=gc, vol_strain=vs, divergence=dvg,
-        pressure_p=pp, pressure_a=pa, mu=mu,
-        neighbor_count=jnp.sum(geom.valid, axis=1).astype(jnp.int32),
-        cell_overflow=jnp.max(frame.cell_start[1:] - frame.cell_start[:-1]),
+    """Single-chip path: both fluid phases over the full frame.  Returns
+    per-particle (force, fields) in SORTED order."""
+    rv = receivers_of(frame)
+    fields = phase1_fields(frame, rv, grid, ks, tables, cap=cap)
+    force = phase2_forces(
+        frame, rv, fields, fields, grid, ks, tables,
+        volume=volume, two_dimensional=two_dimensional, cap=cap,
     )
     return force, fields
 

@@ -20,6 +20,12 @@ Re-implements the reference's solid op chain
 
 TPU-first redesign notes:
 
+* All solid state lives in a COMPACT SUBSET index space of the structure
+  particles only (``s_idx`` maps subset -> global slot), padded to a lane
+  multiple.  The reference runs these kernels over the structure segment of
+  the global arrays; compacting means solid cost scales with the structure
+  count, not the fluid count, and the per-substep gathers touch small
+  arrays.
 * In 2-D the reference computes all tensors on the top-left 2x2 block
   (``dim = 2``, the third row/col stays zero); we carry a static
   ``sd``-dimensional tensor pipeline (sd = 2 or 3) and pad to 3x3 only for
@@ -44,6 +50,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from particlemethod_fsi_tpu.config import TYPE_COUNT, SceneConfig
 from particlemethod_fsi_tpu.ops.fluid import TypeTables, is_structure
@@ -52,19 +59,27 @@ from particlemethod_fsi_tpu.ops.smoothing import KernelSet
 
 
 class SolidStatic(NamedTuple):
-    """Reference-configuration quantities, computed once at setup."""
+    """Reference-configuration quantities in compact structure-subset space,
+    computed once at setup.  S = padded structure count, K0 = max initial
+    neighbors, sd = spatial dim."""
 
-    idx0: jax.Array  # [N,K0] initial structure neighbors
-    mask0: jax.Array  # [N,K0]
-    xij0: jax.Array  # [N,K0,sd] min-image initial separations
-    wij0: jax.Array  # [N,K0] WLS weights w(|xij0|, RadiusP)
-    normalizer: jax.Array  # [N,sd,sd] A^-1 (identity fallback)
-    inv_rho_i: jax.Array  # [N] 1/Density[prop] (structure; 0 elsewhere)
-    inv_rho_j: jax.Array  # [N,K0]
-    lam: jax.Array  # [N] Lame lambda (structure; 0 elsewhere)
-    mu: jax.Array  # [N] Lame mu
-    clamp: jax.Array  # [N] bool Dirichlet-clamped structure particles
-    count0: jax.Array  # [N] int32 initial neighbor counts (diagnostics)
+    s_idx: jax.Array  # [S] global slot per subset entry (0 on padding)
+    s_valid: jax.Array  # [S] bool
+    nbr0: jax.Array  # [S, K0] SUBSET indices of initial neighbors
+    mask0: jax.Array  # [S, K0]
+    xij0: jax.Array  # [S, K0, sd] min-image initial separations
+    wij0: jax.Array  # [S, K0] WLS weights w(|xij0|, RadiusP)
+    normalizer: jax.Array  # [S, sd, sd] A^-1 (identity fallback)
+    sub_pos0: jax.Array  # [S, 3] initial positions of subset entries
+    inv_rho: jax.Array  # [S] 1/Density[prop]
+    lam: jax.Array  # [S] Lame lambda
+    mu: jax.Array  # [S] Lame mu
+    clamp: jax.Array  # [S] bool Dirichlet-clamped
+    count0_full: jax.Array  # [N] int32 initial neighbor counts (diagnostics)
+
+    @property
+    def s_pad(self) -> int:
+        return self.s_idx.shape[0]
 
 
 def lame_constants(prop, tables: TypeTables):
@@ -79,22 +94,23 @@ def lame_constants(prop, tables: TypeTables):
     return jnp.where(s, lam, 0.0), jnp.where(s, mu, 0.0)
 
 
-def clamp_mask(pos0, prop, scene: SceneConfig):
-    """Dirichlet clamp predicate on InitialPosition (the per-module clamp
-    regions of updateElasticPosition, src/main.cpp:1918-2044)."""
-    s = is_structure(prop)
-    if not scene.has_clamp:
-        return jnp.zeros_like(s)
-    x0 = pos0[:, scene.clamp_axis]
-    c = (x0 > scene.clamp_threshold) if scene.clamp_greater else (x0 < scene.clamp_threshold)
+def clamp_predicate(x0_axis, scene: SceneConfig):
+    """Dirichlet clamp predicate on an InitialPosition axis value (the
+    per-module clamp regions of updateElasticPosition,
+    src/main.cpp:1918-2044)."""
+    c = (
+        (x0_axis > scene.clamp_threshold)
+        if scene.clamp_greater
+        else (x0_axis < scene.clamp_threshold)
+    )
     if scene.clamp2_threshold is not None:
         c2 = (
-            (x0 > scene.clamp2_threshold)
+            (x0_axis > scene.clamp2_threshold)
             if scene.clamp2_greater
-            else (x0 < scene.clamp2_threshold)
+            else (x0_axis < scene.clamp2_threshold)
         )
         c = c | c2
-    return s & c
+    return c
 
 
 def inverse_with_identity_fallback(a: jax.Array) -> jax.Array:
@@ -145,50 +161,97 @@ def build_solid_static(
     domain_width,
     *,
     spatial_dim: int,
+    pad_multiple: int = 128,
 ) -> SolidStatic:
+    """Compact the global structure particles + their initial neighbor lists
+    into subset space and precompute every static quantity."""
     sd = spatial_dim
-    s_mask = is_structure(prop)
-    mask0 = nbr0.mask & s_mask[:, None] & s_mask[nbr0.idx]
-    xij0_full = min_image(pos0[nbr0.idx] - pos0[:, None, :], domain_width)
-    xij0_full = jnp.where(mask0[..., None], xij0_full, 0.0)
+    prop_h = np.asarray(prop)
+    s_mask_h = (prop_h >= 2) & (prop_h < 4)
+    s_idx_h = np.nonzero(s_mask_h)[0].astype(np.int32)
+    n_s = int(s_idx_h.size)
+    s_pad = max(pad_multiple, ((n_s + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    # global slot -> subset index map (host)
+    g2s = np.zeros(prop_h.shape[0], dtype=np.int32)
+    g2s[s_idx_h] = np.arange(n_s, dtype=np.int32)
+
+    # padding entries index out-of-bounds: gathers clip (and are masked),
+    # scatters use mode="drop" so padding rows never write anywhere
+    s_idx = np.full(s_pad, prop_h.shape[0], dtype=np.int32)
+    s_idx[:n_s] = s_idx_h
+    s_valid = np.zeros(s_pad, dtype=bool)
+    s_valid[:n_s] = True
+
+    idx0_h = np.asarray(nbr0.idx)[s_idx_h]  # [n_s, K0] global ids
+    mask0_h = np.asarray(nbr0.mask)[s_idx_h]
+    # only structure-structure edges participate (src/main.cpp:1608)
+    mask0_h &= s_mask_h[idx0_h]
+    k0 = idx0_h.shape[1]
+    nbr0_sub = np.zeros((s_pad, k0), dtype=np.int32)
+    nbr0_sub[:n_s] = np.where(mask0_h, g2s[idx0_h], 0)
+    mask0 = np.zeros((s_pad, k0), dtype=bool)
+    mask0[:n_s] = mask0_h
+
+    dtype = pos0.dtype
+    s_idx_j = jnp.asarray(s_idx)
+    mask0_j = jnp.asarray(mask0)
+    nbr0_j = jnp.asarray(nbr0_sub)
+    sub_pos0 = pos0[s_idx_j]  # [S, 3]
+
+    xij0_full = min_image(sub_pos0[nbr0_j] - sub_pos0[:, None, :], domain_width)
+    xij0_full = jnp.where(mask0_j[..., None], xij0_full, 0.0)
     xij0 = xij0_full[..., :sd]
     # the WLS weight uses only the in-plane components in 2-D
     # (weight(), src/main.cpp:273-287); z is zero here anyway
     r0 = jnp.sqrt(jnp.sum(xij0 * xij0, axis=-1))
-    wij0 = jnp.where(mask0, ks.weight(r0, ks.radius_p), 0.0)
+    wij0 = jnp.where(mask0_j, ks.weight(r0, ks.radius_p), 0.0)
 
     # moment matrix A = sum w x0 (x) x0 and its inverse with identity
     # fallback on det == 0 (calculateNormalizer, src/main.cpp:2564-2651)
     a = jnp.einsum("nk,nki,nkj->nij", wij0, xij0, xij0)
     normalizer = inverse_with_identity_fallback(a)
 
-    p = jnp.clip(prop, 0, TYPE_COUNT - 1)
-    rho = tables.density[p]
+    sub_prop = jnp.clip(prop[s_idx_j], 0, TYPE_COUNT - 1)
+    rho = tables.density[sub_prop]
     inv_rho = jnp.where(rho > 0, 1.0 / jnp.where(rho > 0, rho, 1.0), 0.0)
-    lam, mu = lame_constants(prop, tables)
+    lam_full, mu_full = lame_constants(prop, tables)
+
+    if scene.has_clamp:
+        clamp = jnp.asarray(s_valid) & clamp_predicate(
+            sub_pos0[:, scene.clamp_axis], scene
+        )
+    else:
+        clamp = jnp.zeros(s_pad, dtype=bool)
+
+    count0_full = jnp.zeros(prop_h.shape[0], dtype=jnp.int32).at[s_idx_j].set(
+        jnp.sum(mask0_j, axis=1).astype(jnp.int32), mode="drop"
+    )
 
     return SolidStatic(
-        idx0=nbr0.idx,
-        mask0=mask0,
+        s_idx=s_idx_j,
+        s_valid=jnp.asarray(s_valid),
+        nbr0=nbr0_j,
+        mask0=mask0_j,
         xij0=xij0,
         wij0=wij0,
         normalizer=normalizer,
-        inv_rho_i=jnp.where(s_mask, inv_rho, 0.0),
-        inv_rho_j=inv_rho[nbr0.idx],
-        lam=lam,
-        mu=mu,
-        clamp=clamp_mask(pos0, prop, scene),
-        count0=jnp.sum(mask0, axis=1).astype(jnp.int32),
+        sub_pos0=sub_pos0,
+        inv_rho=jnp.where(jnp.asarray(s_valid), inv_rho, 0.0),
+        lam=lam_full[s_idx_j],
+        mu=mu_full[s_idx_j],
+        clamp=clamp,
+        count0_full=count0_full,
     )
 
 
-def deformation_gradient(pos, pos0, solid: SolidStatic, domain_width):
+def deformation_gradient_subset(sub_pos, solid: SolidStatic, domain_width):
     """F = [sum w xij (x) xij0] A^-1 with xij = xij0 + (uj - ui),
-    u = min-image(pos - pos0) (calculateElasticDeformationVector,
-    src/main.cpp:2700-2752)."""
+    u = min-image(pos - pos0), all in subset space
+    (calculateElasticDeformationVector, src/main.cpp:2700-2752)."""
     sd = solid.xij0.shape[-1]
-    u = min_image(pos - pos0, domain_width)[..., :sd]  # [N,sd]
-    uj = u[solid.idx0]  # [N,K0,sd]
+    u = min_image(sub_pos - solid.sub_pos0, domain_width)[..., :sd]  # [S,sd]
+    uj = u[solid.nbr0]  # [S,K0,sd]
     xij = solid.xij0 + (uj - u[:, None, :])
     f_raw = jnp.einsum("nk,nki,nkj->nij", solid.wij0, xij, solid.xij0)
     return jnp.einsum("nik,nkj->nij", f_raw, solid.normalizer)
@@ -207,65 +270,62 @@ def stvk_stress(f, lam, mu):
 
 
 def stress_velocity_kick(f, stress, solid: SolidStatic, elastic_dt: float):
-    """Velocity increment from internal elastic forces, in the scatter-free
-    symmetric form (see module docstring; replaces the ``acc atomic``
-    action-reaction of calculateStressForce, src/main.cpp:2834-2888):
+    """Velocity increment [S, sd] from internal elastic forces, in the
+    scatter-free symmetric form (see module docstring; replaces the ``acc
+    atomic`` action-reaction of calculateStressForce, src/main.cpp:2834-2888):
 
         P_i   = F_i S_i A_i^-1
         dv_i  = (dtE / rho_i) * sum_j w(xij0) (P_i + P_j) xij0
     """
     p_nom = jnp.einsum("nik,nkl,nlj->nij", f, stress, solid.normalizer)
-    p_j = p_nom[solid.idx0]  # [N,K0,sd,sd]
+    p_j = p_nom[solid.nbr0]  # [S,K0,sd,sd]
     p_sum = p_nom[:, None, :, :] + p_j
     f_pair = solid.wij0[..., None] * jnp.einsum("nkij,nkj->nki", p_sum, solid.xij0)
     kick = jnp.sum(jnp.where(solid.mask0[..., None], f_pair, 0.0), axis=1)
-    return elastic_dt * solid.inv_rho_i[:, None] * kick
+    return elastic_dt * solid.inv_rho[:, None] * kick
 
 
-def update_elastic_position(pos, pos0, vel, prop, solid: SolidStatic,
-                            elastic_dt: float, *, double_position_update: bool):
-    """Clamp + substep integration (updateElasticPosition,
-    src/main.cpp:1910-2082).
-
-    Clamped particles: pos = pos0, vel = 0 (and force = 0, handled by the
-    caller's diagnostics).  Free structure particles: pos += vel*dtE -- twice
-    when ``double_position_update`` replicates quirk Q1 (the ``#ifdef
-    Rolling2 ... #else`` fallback block compiles in addition to the module
-    block, :2045-2079; structure Acceleration is identically zero, so the
-    velocity half of the duplicate is a no-op).
-    """
-    s = is_structure(prop)
-    factor = 2.0 if double_position_update else 1.0
-    new_vel = jnp.where(solid.clamp[:, None], 0.0, vel)
-    moved = pos + factor * elastic_dt * new_vel
-    new_pos = jnp.where(solid.clamp[:, None], pos0, moved)
-    return (
-        jnp.where(s[:, None], new_pos, pos),
-        jnp.where(s[:, None], new_vel, vel),
-    )
-
-
-def substep(pos, pos0, vel, prop, solid: SolidStatic, domain_width,
-            elastic_dt: float, *, double_position_update: bool):
-    """One elastic substep: F -> (E, S) -> velocity kick -> integrate
-    (the inner loop of main(), src/main.cpp:655-663)."""
-    f = deformation_gradient(pos, pos0, solid, domain_width)
+def substep_subset(sub_pos, sub_vel, solid: SolidStatic, domain_width,
+                   elastic_dt: float, *, double_position_update: bool):
+    """One elastic substep in subset space: F -> (E, S) -> velocity kick ->
+    clamp + integrate (the inner loop of main(), src/main.cpp:655-663, and
+    updateElasticPosition, :1910-2082 with quirk Q1: free particles advance
+    their position twice per substep because the un-guarded ``#else`` block
+    compiles alongside the module block, :2045-2079)."""
+    sd = solid.xij0.shape[-1]
+    f = deformation_gradient_subset(sub_pos, solid, domain_width)
     strain, stress = stvk_stress(f, solid.lam, solid.mu)
-    dv = stress_velocity_kick(f, stress, solid, elastic_dt)  # [N,sd]
-    s = is_structure(prop)
-    sd = dv.shape[-1]
-    vel = vel.at[:, :sd].add(jnp.where(s[:, None], dv, 0.0))
-    pos, vel = update_elastic_position(
-        pos, pos0, vel, prop, solid, elastic_dt,
-        double_position_update=double_position_update,
-    )
-    return pos, vel, strain, stress
+    dv = stress_velocity_kick(f, stress, solid, elastic_dt)
+    sub_vel = sub_vel.at[:, :sd].add(jnp.where(solid.s_valid[:, None], dv, 0.0))
+
+    factor = 2.0 if double_position_update else 1.0
+    sub_vel = jnp.where(solid.clamp[:, None], 0.0, sub_vel)
+    moved = sub_pos + factor * elastic_dt * sub_vel
+    sub_pos = jnp.where(solid.clamp[:, None], solid.sub_pos0, moved)
+    return sub_pos, sub_vel, strain, stress
 
 
-def pad_tensor_to3(t):
-    """Embed [N,sd,sd] tensors into [N,3,3] for diagnostics/VTK output."""
-    sd = t.shape[-1]
-    if sd == 3:
-        return t
-    out = jnp.zeros(t.shape[:-2] + (3, 3), dtype=t.dtype)
-    return out.at[..., :sd, :sd].set(t)
+def run_substeps(pos, vel, solid: SolidStatic, domain_width, elastic_dt: float,
+                 substeps: int, *, double_position_update: bool):
+    """Gather structure subset, run the substep loop, scatter back."""
+    sub_pos = pos[solid.s_idx]
+    sub_vel = vel[solid.s_idx]
+    orig_pos, orig_vel = sub_pos, sub_vel
+    for _ in range(substeps):
+        sub_pos, sub_vel, _, _ = substep_subset(
+            sub_pos, sub_vel, solid, domain_width, elastic_dt,
+            double_position_update=double_position_update,
+        )
+    sub_pos = jnp.where(solid.s_valid[:, None], sub_pos, orig_pos)
+    sub_vel = jnp.where(solid.s_valid[:, None], sub_vel, orig_vel)
+    pos = pos.at[solid.s_idx].set(sub_pos, mode="drop")
+    vel = vel.at[solid.s_idx].set(sub_vel, mode="drop")
+    return pos, vel
+
+
+def subset_tensors_to_full(t_sub, solid: SolidStatic, n_full: int):
+    """Embed subset [S, sd, sd] tensors into full [N, 3, 3] (diagnostics)."""
+    sd = t_sub.shape[-1]
+    out = jnp.zeros((n_full, 3, 3), dtype=t_sub.dtype)
+    t_masked = jnp.where(solid.s_valid[:, None, None], t_sub, 0.0)
+    return out.at[solid.s_idx, :sd, :sd].set(t_masked)

@@ -1,0 +1,7 @@
+from particlemethod_fsi_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_step,
+    shard_state,
+)
+
+__all__ = ["make_mesh", "make_sharded_step", "shard_state"]

@@ -214,18 +214,20 @@ class Simulation:
         nbr = self._neighbors(pos, prop)
         ctx = fl.make_pair_context(pos, prop, nbr, self.domain_width, tables)
         j = ctx.j
+        to_c = lambda a: jnp.moveaxis(a, -1, 0)  # [.., E, 3] -> [3, .., E]
         geom = em.EdgeGeometry(
-            xij=ctx.xij, rij2=ctx.rij2, rij=ctx.rij, eij=ctx.eij, valid=ctx.mask
+            xij=to_c(ctx.xij), rij2=ctx.rij2, rij=ctx.rij,
+            eij=to_c(ctx.eij), valid=ctx.mask,
         )
         s_i = fl.is_structure(prop)
         s_j = fl.is_structure(ctx.prop_j)
 
-        da, gc, wp_sum, dvg = em.phase1_sums(
-            geom, ks, vel_i=vel[:, None, :], vel_j=vel[j], ratio_ij=ctx.ratio_ij
+        da, gc_c, wp_sum, dvg = em.phase1_sums(
+            geom, ks, vel_i=vel.T, vel_j=to_c(vel[j]), ratio_ij=ctx.ratio_ij
         )
         # structure receivers are skipped by the A/G ops (src/main.cpp:2149,2183)
         da = jnp.where(s_i, 0.0, da)
-        gc = jnp.where(s_i[:, None], 0.0, gc)
+        gc = jnp.where(s_i[:, None], 0.0, gc_c.T)
         vs = wp_sum - ks.n0p
         kappa, lam, mu = fl.physical_coefficients(prop, vs, tables)
         pp = fl.pressure_p(vs, dvg, kappa, lam)
@@ -235,11 +237,11 @@ class Simulation:
             geom, ks, volume=self.volume, two_dimensional=cfg.two_dimensional,
             receiver_is_structure=s_i, sender_is_structure=s_j,
             pp_i=pp, pp_j=pp[j], pa_i=pa, pa_j=pa[j],
-            gc_i=gc, gc_j=gc[j], mu_i=mu, mu_j=mu[j],
-            vel_i=vel[:, None, :], vel_j=vel[j],
+            gc_i=gc.T, gc_j=to_c(gc[j]), mu_i=mu, mu_j=mu[j],
+            vel_i=vel.T, vel_j=to_c(vel[j]),
             ratio_ij=ctx.ratio_ij, ratio_ji=ctx.ratio_ji,
             cof_a_i=tables.cof_a[ctx.prop_i],
-        )
+        ).T
 
         # gravity on fluid + structure (calculateGravity, src/main.cpp:2917-2935)
         seg = Segments(prop)
@@ -308,10 +310,10 @@ class Simulation:
 
         # elastic substeps (src/main.cpp:653-663); statically skipped when
         # the scene has no structure particles
-        for _ in range(cfg.substeps if self.has_structure else 0):
-            pos, vel, _, _ = sl.substep(
-                pos, state.pos0, vel, prop, self.solid, self.domain_width,
-                cfg.elastic_dt,
+        if self.has_structure and cfg.substeps > 0:
+            pos, vel = sl.run_substeps(
+                pos, vel, self.solid, self.domain_width, cfg.elastic_dt,
+                cfg.substeps,
                 double_position_update=cfg.compat.double_substep_position_update,
             )
 
@@ -338,7 +340,9 @@ class Simulation:
         src/main.cpp:984-1189, 3077-3318)."""
         prop, pos, vel = state.prop, state.pos, state.vel
         force, fields = self._fluid_phase(pos, vel, prop)
-        f = sl.deformation_gradient(pos, state.pos0, self.solid, self.domain_width)
+        f = sl.deformation_gradient_subset(
+            pos[self.solid.s_idx], self.solid, self.domain_width
+        )
         strain, stress = sl.stvk_stress(f, self.solid.lam, self.solid.mu)
         seg = Segments(prop)
         mass = fields["mass"]
@@ -346,18 +350,19 @@ class Simulation:
             seg.fluid[:, None], force / jnp.where(mass > 0, mass, 1.0)[:, None], 0.0
         )
         virial_stress, virial_pressure = self._virial(fields, vel, prop)
+        to_full = lambda t: sl.subset_tensors_to_full(t, self.solid, self.n_pad)
         return dict(
             force=force,
             accel=accel,
-            strain=sl.pad_tensor_to3(strain),
-            stress=sl.pad_tensor_to3(stress),
-            deform_gradient=sl.pad_tensor_to3(f),
+            strain=to_full(strain),
+            stress=to_full(stress),
+            deform_gradient=to_full(f),
             pressure_p=fields["pressure_p"],
             pressure_a=fields["pressure_a"],
             vol_strain=fields["vol_strain"],
             density_a=fields["density_a"],
             neighbor_count=fields["nbr"].count,
-            initial_neighbor_count=self.solid.count0,
+            initial_neighbor_count=self.solid.count0_full,
             cell_overflow=fields["nbr"].cell_overflow,
             virial_stress=virial_stress,
             virial_pressure=virial_pressure,

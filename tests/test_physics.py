@@ -1,0 +1,195 @@
+"""Physics-property tests: conservation laws and analytic oracles
+(the test pyramid the reference lacks; SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from cases import L0, dam_like_config, mini_bar, mini_dam
+from particlemethod_fsi_tpu.config import SCENES
+from particlemethod_fsi_tpu.generator import BoidScene, Primitive, generate_grid
+from particlemethod_fsi_tpu.ops import solid as sl
+from particlemethod_fsi_tpu.solver import Simulation
+from particlemethod_fsi_tpu.state import to_numpy
+
+
+class TestConservation:
+    def test_fluid_momentum_conserved_periodic(self):
+        """Pairwise forces are antisymmetric (symmetric interaction ratios),
+        so total fluid momentum is conserved without gravity/walls."""
+        rng = np.random.default_rng(0)
+        n_side = 12
+        grid = generate_grid(BoidScene(
+            particle_distance=L0,
+            lower_domain=(0.0, 0.0, 0.0),
+            upper_domain=(n_side * L0, n_side * L0, L0),
+            primitives=[Primitive("Cuboid", spacing=L0, type=0,
+                                  lower=(0, 0, 0),
+                                  upper=(n_side * L0, n_side * L0, L0))],
+        ))
+        grid.velocity[:, :2] = rng.normal(scale=0.01, size=(grid.n, 2))
+        cfg = dam_like_config().replace(
+            gravity=(0.0, 0.0, 0.0),
+            surface_tension=(0.01, 0.01, 0.0, 0.0, 0.01, 0.0),
+        )
+        sim = Simulation(cfg, grid)
+        s = sim.state0
+        mass = np.asarray(sim.tables.density)[np.clip(grid.prop, 0, 5)] * sim.volume
+        p0 = (mass[:, None] * grid.velocity).sum(axis=0)
+        for _ in range(20):
+            s = sim.step(s)
+        out = to_numpy(s, grid.n)
+        p1 = (mass[:, None] * out["vel"]).sum(axis=0)
+        scale = np.abs(mass[:, None] * out["vel"]).sum()
+        np.testing.assert_allclose(p1, p0, atol=1e-12 * max(scale, 1e-30))
+
+    def test_hydrostatic_pressure_column(self):
+        """After settling, VolStrainP-based pressure approximates
+        rho*g*depth through the water column (sealed tank: water spans the
+        full width between the side walls so nothing collapses)."""
+        w, h = 12, 20
+        grid = generate_grid(BoidScene(
+            particle_distance=L0,
+            lower_domain=(-3 * L0, 0.0, 0.0),
+            upper_domain=((w + 3) * L0, 2 * h * L0, L0),
+            primitives=[
+                Primitive("Cuboid", spacing=L0, type=1, lower=(0, 3 * L0, 0),
+                          upper=(w * L0, (3 + h) * L0, L0)),
+                Primitive("Cuboid", spacing=L0, type=4, lower=(-3 * L0, 0, 0),
+                          upper=((w + 3) * L0, 3 * L0, L0)),
+                Primitive("Cuboid", spacing=L0, type=4, lower=(-3 * L0, 3 * L0, 0),
+                          upper=(0, (6 + h) * L0, L0)),
+                Primitive("Cuboid", spacing=L0, type=4, lower=(w * L0, 3 * L0, 0),
+                          upper=((w + 3) * L0, (6 + h) * L0, L0)),
+            ],
+        ))
+        cfg = dam_like_config().replace(gravity=(0.0, -9.81, 0.0))
+        sim = Simulation(cfg, grid)
+        s = sim.run_chunk(sim.state0, 1500)
+        d = sim.diagnostics(s)
+        out = to_numpy(s, grid.n)
+        fl = (grid.prop >= 0) & (grid.prop < 2)
+        y = out["pos"][fl, 1]
+        pp = d["pressure_p"][: grid.n][fl]
+        surface = y.max()
+        depth = surface - y
+        deep = depth > 0.005
+        expect = 1e3 * 9.81 * depth[deep]
+        err = np.abs(pp[deep] - expect) / expect.max()
+        # weakly-compressible + kernel-density pressure: ~15% of peak
+        assert np.median(err) < 0.15, f"median hydrostatic error {np.median(err)}"
+
+
+class TestSolidProperties:
+    def _solid_setup(self):
+        grid = mini_bar(nx=16, ny=4)
+        cfg = dam_like_config().replace(scene=SCENES["bar"], gravity=(0, 0, 0))
+        sim = Simulation(cfg, grid)
+        return sim
+
+    def test_deformation_gradient_identity_at_rest(self):
+        sim = self._solid_setup()
+        sub_pos = sim.state0.pos[sim.solid.s_idx]
+        f = np.asarray(sl.deformation_gradient_subset(
+            sub_pos, sim.solid, sim.domain_width))
+        valid = np.asarray(sim.solid.s_valid)
+        eye = np.eye(2)
+        np.testing.assert_allclose(f[valid], np.broadcast_to(eye, f[valid].shape),
+                                   atol=1e-9)
+
+    def test_rigid_motion_zero_stress(self):
+        """Rigid translate+rotate => F = R, Green-Lagrange strain = 0,
+        StVK stress = 0, zero velocity kicks."""
+        sim = self._solid_setup()
+        th = 0.3
+        c, s_ = np.cos(th), np.sin(th)
+        r = np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1.0]])
+        sub_pos0 = np.asarray(sim.solid.sub_pos0)
+        moved = sub_pos0 @ r.T + np.array([0.004, -0.002, 0.0])
+        import jax.numpy as jnp
+
+        f = sl.deformation_gradient_subset(
+            jnp.asarray(moved), sim.solid, sim.domain_width)
+        strain, stress = sl.stvk_stress(f, sim.solid.lam, sim.solid.mu)
+        kick = sl.stress_velocity_kick(f, stress, sim.solid, 1e-4)
+        valid = np.asarray(sim.solid.s_valid)
+        # interior particles (full WLS stencils) must be stress-free
+        full = np.asarray(sim.solid.count0_full)[np.asarray(sim.solid.s_idx)[valid]]
+        interior = full == full.max()
+        assert np.abs(np.asarray(strain)[valid][interior]).max() < 1e-8
+        assert np.abs(np.asarray(stress)[valid][interior]).max() < 1e-2
+        # F equals the in-plane rotation block
+        np.testing.assert_allclose(
+            np.asarray(f)[valid][interior],
+            np.broadcast_to(r[:2, :2], (interior.sum(), 2, 2)), atol=1e-8)
+        assert np.isfinite(np.asarray(kick)).all()
+
+    def test_bar_oscillates_and_returns(self):
+        """Excited cantilever oscillates: the tip must reverse direction and
+        the motion stays bounded (energy does not blow up)."""
+        grid = mini_bar(nx=10, ny=4)
+        cfg = dam_like_config().replace(
+            scene=SCENES["bar"], gravity=(0, 0, 0),
+            dt=1e-4, elastic_dt=2e-5,
+        )
+        cfg = cfg.replace(compat=cfg.compat.__class__(
+            double_substep_position_update=False))
+        sim = Simulation(cfg, grid)
+        s = sim.apply_initial_velocity_profile(sim.state0)
+        tip = np.argmax(grid.initial_position[:, 0])
+        v0 = float(s.vel[tip, 1])
+        assert v0 > 0  # excited upward
+        tip_disp = []
+        for _ in range(40):
+            s = sim.run_chunk(s, 10)
+            out = to_numpy(s, grid.n)
+            tip_disp.append(out["pos"][tip, 1] - grid.initial_position[tip, 1])
+        tip_disp = np.asarray(tip_disp)
+        assert np.isfinite(tip_disp).all()
+        assert tip_disp.max() > 1e-6  # moved up
+        assert tip_disp.min() < 0.5 * tip_disp.max()  # came back down
+        # bounded: no blow-up beyond a few x the initial swing
+        assert np.abs(tip_disp).max() < 10 * np.abs(tip_disp[:10]).max()
+
+
+class TestWatchdogAndCheckpoint:
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from particlemethod_fsi_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        grid = mini_dam()
+        cfg = dam_like_config()
+        sim = Simulation(cfg, grid)
+        s = sim.run_chunk(sim.state0, 5)
+        path = tmp_path / "ck.npz"
+        save_checkpoint(path, s, n=grid.n)
+        s2, n, _ = load_checkpoint(path)
+        assert n == grid.n
+        np.testing.assert_array_equal(np.asarray(s.pos), np.asarray(s2.pos))
+        np.testing.assert_array_equal(np.asarray(s.wall_center),
+                                      np.asarray(s2.wall_center))
+        # continuing from the checkpoint is bit-identical
+        a = to_numpy(sim.run_chunk(s, 3), grid.n)
+        b = to_numpy(sim.run_chunk(s2, 3), grid.n)
+        np.testing.assert_array_equal(a["pos"], b["pos"])
+
+    def test_watchdog_detects_nan(self):
+        from particlemethod_fsi_tpu.utils.watchdog import check_state
+
+        pos = np.zeros((10, 3))
+        vel = np.zeros((10, 3))
+        ok = check_state(pos, vel, np.ones(10, bool), speed_limit=1.0)
+        assert ok.ok
+        vel[3, 1] = np.nan
+        bad = check_state(pos, vel, np.ones(10, bool), speed_limit=1.0)
+        assert not bad.ok and "velocities" in bad.reason
+
+    def test_watchdog_detects_blowup(self):
+        from particlemethod_fsi_tpu.utils.watchdog import check_state
+
+        pos = np.zeros((4, 3))
+        vel = np.zeros((4, 3))
+        vel[0, 0] = 100.0
+        bad = check_state(pos, vel, np.ones(4, bool), speed_limit=1.0)
+        assert not bad.ok and "max speed" in bad.reason
