@@ -142,10 +142,14 @@ class NumericsConfig:
     """TPU-facing numerics knobs (no counterpart in the reference)."""
 
     dtype: str = "float32"  # compute dtype: "float32" (TPU) or "float64" (CPU tests)
-    # pairwise backend: "packed" = sorted packed-candidate engine (TPU fast
-    # path, no per-element gathers); "gather" = portable [N,K] index-matrix
-    # engine (CPU/golden tests, diagnostics)
+    # pairwise backend:
+    #   "pallas" = blockwise window-sweep Pallas kernels (fastest; requires
+    #              the no-wrap-pairs precondition, auto-falls-back otherwise)
+    #   "packed" = sorted packed-candidate XLA engine (no per-element gathers)
+    #   "gather" = portable [N,K] index-matrix engine (CPU/golden tests)
     backend: str = "packed"
+    pallas_block: int = 64  # receivers per Pallas program
+    pallas_wmax: int = 128  # window rows per cell-row offset
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
     cell_capacity: int = 16  # max particles per cell-list bucket

@@ -1,0 +1,492 @@
+"""Pallas TPU kernels for the pairwise fluid phases: blockwise window sweep
+over the cell-sorted frame.
+
+The packed XLA backend (``ops/packed_engine.py``) fetches neighbor candidates
+with ~18N row-gathers per step; on TPU each gathered row costs a fixed ~3.4ns
+DMA regardless of width, which caps throughput.  This backend removes the
+row-gathers entirely:
+
+* particles stay sorted by cell id (``sort_frame``);
+* for a BLOCK of B consecutive sorted receivers, all neighbors within one
+  cell-row offset lie in a CONTIGUOUS range of the sorted array ("window"):
+  cells are support-radius wide, the x-axis is the fastest sort key, so the
+  candidate set for row offset dy (and dz in 3-D) is
+  ``[cell_start(c_lo + off - 1), cell_start(c_hi + off + 2))`` -- one bulk
+  DMA per (block, offset) instead of per-row gathers;
+* the kernel DMAs each window into VMEM once and evaluates the dense
+  [B, WMAX] pair interactions on the VPU, masking by the exact cell-ring
+  predicate + radius test.  This is the blockwise-attention analog for
+  particle methods (SURVEY.md section 5, long-context row).
+
+PRECONDITION (checked at setup): no interacting pair may span the periodic
+domain boundary -- windows are clipped, not wrapped.  Wall-bounded scenes
+(Dam/Bar/FSI) satisfy this by construction; fully periodic scenes must use
+``backend="packed"``.  Window overflow (true window longer than WMAX) is
+detected outside the kernel and reported like neighbor-list overflow.
+
+Kernel I/O layout (see ops/edge_math.py layout rule): packed rows carry
+[pos, vel/fields, prop, id, per-type rows]; per-edge compute is [B, WMAX]
+2-D VPU arrays.  Replicates the reference physics of
+``/root/reference/src/main.cpp:2141-2522`` exactly (formulas mirrored from
+ops/edge_math.py; parity-tested against both other backends).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from particlemethod_fsi_tpu.config import (
+    STRUCTURE_BEGIN,
+    STRUCTURE_END,
+    TYPE_COUNT,
+)
+from particlemethod_fsi_tpu.ops.neighbors import CellGrid
+from particlemethod_fsi_tpu.ops.packed_engine import SortedFrame
+from particlemethod_fsi_tpu.ops.smoothing import KernelSet
+
+# phase-1 packed row: x y z vx vy vz prop id ir_row[6] pad[2]
+P1_W = 16
+# phase-2 packed row:
+# x y z pp pa gcx gcy gcz mu vx vy vz prop id cofa ir_row[6] ir_col[6] pad[5]
+P2_W = 32
+
+
+class PallasConfig(NamedTuple):
+    block: int = 64  # receivers per kernel program
+    wmax: int = 128  # window length (sorted rows per offset)
+
+
+def row_offsets(grid: CellGrid):
+    """Distinct cell-row offsets: {-1,0,1} on y (x is the fast axis) and, in
+    3-D, on z.  Row offset o maps to a cell-id offset o_y*nx + o_z*nx*ny."""
+    nx, ny, nz = grid.cell_count
+    ys = (-1, 0, 1) if ny >= 3 else tuple(range(ny))
+    zs = (-1, 0, 1) if nz >= 3 else tuple(range(nz))
+    return tuple(oy * nx + oz * nx * ny for oz in zs for oy in ys), tuple(
+        (oy, oz) for oz in zs for oy in ys
+    )
+
+
+def compute_windows(frame: SortedFrame, grid: CellGrid, cfg: PallasConfig):
+    """Per-(block, offset) window starts + overflow metric (pure jnp).
+
+    Returns (win_start [nblocks, n_off] i32, max_window_len scalar i32)."""
+    n = frame.key.shape[0]
+    b = cfg.block
+    nblocks = n // b
+    key = jnp.clip(frame.key, 0, grid.num_cells - 1)
+    c_lo = key[0::b][:nblocks]  # first receiver's cell per block
+    c_hi = key[b - 1 :: b][:nblocks]
+    offs, _ = row_offsets(grid)
+    starts = []
+    lens = []
+    ncells = grid.num_cells
+    for off in offs:
+        lo = jnp.clip(c_lo + off - 1, 0, ncells)
+        hi = jnp.clip(c_hi + off + 2, 0, ncells)
+        s = frame.cell_start[lo]
+        e = frame.cell_start[hi]
+        starts.append(jnp.clip(s, 0, n))  # packed arrays are padded by WMAX
+        lens.append(e - s)
+    win_start = jnp.stack(starts, axis=1).astype(jnp.int32)
+    max_len = jnp.max(jnp.stack(lens)).astype(jnp.int32)
+    return win_start, max_len
+
+
+def check_no_wrap_pairs(grid: CellGrid, positions, valid, support: float) -> bool:
+    """Host-side setup check for the no-wrap precondition: on every periodic
+    axis with >=3 cells, the gap between the extreme particles across the
+    boundary must exceed the support radius."""
+    import numpy as np
+
+    pos = np.asarray(positions)[np.asarray(valid)]
+    if pos.size == 0:
+        return True
+    for d in range(3):
+        if grid.cell_count[d] < 3:
+            continue
+        lo = float(pos[:, d].min()) - grid.domain_min[d]
+        hi = grid.domain_min[d] + grid.domain_width[d] - float(pos[:, d].max())
+        if lo + hi < support:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _edge_mask_and_geometry(rec, win, *, grid: CellGrid, off_yz, dtype):
+    """Shared per-(block, window) edge mask + geometry.
+
+    rec: [B, W] receiver rows; win: [WMAX, W] window rows (lane 0:3 = pos,
+    prop at rec_prop_lane, id last-used lane).  Returns dict of [B, WMAX]
+    arrays.  No-wrap precondition: plain coordinate comparisons."""
+    dmin = grid.domain_min
+    cw = grid.cell_width
+    oy, oz = off_yz
+
+    def cell_coord(x, d):
+        return jnp.floor((x - dmin[d]) / jnp.asarray(cw[d], dtype))
+
+    xi = rec[:, 0][:, None]
+    yi = rec[:, 1][:, None]
+    zi = rec[:, 2][:, None]
+    xj = win[:, 0][None, :]
+    yj = win[:, 1][None, :]
+    zj = win[:, 2][None, :]
+
+    # exact cell-ring membership for this row offset
+    cxi = cell_coord(rec[:, 0], 0)[:, None]
+    cyi = cell_coord(rec[:, 1], 1)[:, None]
+    cxj = cell_coord(win[:, 0], 0)[None, :]
+    cyj = cell_coord(win[:, 1], 1)[None, :]
+    ring = (jnp.abs(cxj - cxi) <= 1.0) & (cyj - cyi == float(oy))
+    if grid.cell_count[2] > 1:
+        czi = cell_coord(rec[:, 2], 2)[:, None]
+        czj = cell_coord(win[:, 2], 2)[None, :]
+        ring = ring & (czj - czi == float(oz))
+
+    dxx = xj - xi
+    dyy = yj - yi
+    dzz = zj - zi
+    rij2 = dxx * dxx + dyy * dyy + dzz * dzz
+    return dict(xij=(dxx, dyy, dzz), rij2=rij2, ring=ring)
+
+
+def _phase1_kernel(win_start_ref, rec_ref, packed_ref, out_ref, win_scratch,
+                   sems, *, grid: CellGrid, ks: KernelSet, cfg: PallasConfig,
+                   offs_yz):
+    b = pl.program_id(0)
+    n_off = len(offs_yz)
+    for o in range(n_off):
+        pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
+            win_scratch.at[o],
+            sems.at[o],
+        ).start()
+
+    rec = rec_ref[:]  # [B, P1_W]
+    dtype = rec.dtype
+    bsz = rec.shape[0]
+    acc_da = jnp.zeros((bsz, cfg.wmax), dtype)
+    acc_wp = jnp.zeros((bsz, cfg.wmax), dtype)
+    acc_div = jnp.zeros((bsz, cfg.wmax), dtype)
+    acc_gx = jnp.zeros((bsz, cfg.wmax), dtype)
+    acc_gy = jnp.zeros((bsz, cfg.wmax), dtype)
+    acc_gz = jnp.zeros((bsz, cfg.wmax), dtype)
+    acc_cnt = jnp.zeros((bsz, cfg.wmax), dtype)
+
+    id_i = rec[:, 7][:, None]
+
+    for o in range(len(offs_yz)):
+        pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
+            win_scratch.at[o],
+            sems.at[o],
+        ).wait()
+        win = win_scratch[o]  # [WMAX, P1_W]
+        g = _edge_mask_and_geometry(rec, win, grid=grid, off_yz=offs_yz[o],
+                                    dtype=dtype)
+        id_j = win[:, 7][None, :]
+        valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+        support2 = grid.support * grid.support
+        valid = valid & (g["rij2"] <= support2)
+        rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+
+        # interaction ratio: receiver's table row (lanes 8..13) dotted with
+        # the sender prop one-hot
+        prop_j = win[:, 6][None, :]
+        ratio_ij = jnp.zeros_like(rij)
+        for t in range(TYPE_COUNT):
+            ratio_ij = ratio_ij + jnp.where(
+                prop_j == float(t), rec[:, 8 + t][:, None], 0.0
+            )
+
+        # densityA (wa kernel, >= guard; src/main.cpp:2141-2171)
+        m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
+        q_a = rij / ks.radius_a
+        wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * (1.0 - q_a) ** 2
+        acc_da = acc_da + jnp.where(m_a, ratio_ij * wa, 0.0)
+
+        # gravity center (wg kernel; :2174-2210)
+        m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
+        q_g = rij / ks.radius_g
+        wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * (1.0 - q_g) ** 2
+        w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g, 0.0)
+        acc_gx = acc_gx + g["xij"][0] * w_gc
+        acc_gy = acc_gy + g["xij"][1] * w_gc
+        acc_gz = acc_gz + g["xij"][2] * w_gc
+
+        # wp sum + divergence (:2314-2379)
+        m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
+        q_p = rij / ks.radius_p
+        norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+        wp = norm_p * (1.0 - q_p) ** 2
+        acc_wp = acc_wp + jnp.where(m_p, wp, 0.0)
+        dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+        inv_r = 1.0 / rij
+        ux = win[:, 3][None, :] - rec[:, 3][:, None]
+        uy = win[:, 4][None, :] - rec[:, 4][:, None]
+        uz = win[:, 5][None, :] - rec[:, 5][:, None]
+        udote = (ux * g["xij"][0] + uy * g["xij"][1] + uz * g["xij"][2]) * inv_r
+        acc_div = acc_div - jnp.where(m_p, udote * dwp, 0.0)
+
+        acc_cnt = acc_cnt + jnp.where(valid, 1.0, 0.0)
+
+    out_ref[:] = jnp.stack(
+        [jnp.sum(acc_da, axis=1), jnp.sum(acc_gx, axis=1),
+         jnp.sum(acc_gy, axis=1), jnp.sum(acc_gz, axis=1),
+         jnp.sum(acc_wp, axis=1), jnp.sum(acc_div, axis=1),
+         jnp.sum(acc_cnt, axis=1), jnp.zeros((bsz,), dtype)], axis=1)
+
+
+def _phase2_kernel(win_start_ref, rec_ref, packed_ref, out_ref, win_scratch,
+                   sems, *, grid: CellGrid, ks: KernelSet, cfg: PallasConfig,
+                   offs_yz, volume: float, two_dimensional: bool):
+    b = pl.program_id(0)
+    for o in range(len(offs_yz)):
+        pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
+            win_scratch.at[o],
+            sems.at[o],
+        ).start()
+
+    rec = rec_ref[:]  # [B, P2_W]
+    dtype = rec.dtype
+    bsz = rec.shape[0]
+    fx = jnp.zeros((bsz, cfg.wmax), dtype)
+    fy = jnp.zeros((bsz, cfg.wmax), dtype)
+    fz = jnp.zeros((bsz, cfg.wmax), dtype)
+
+    id_i = rec[:, 13][:, None]
+    prop_i = rec[:, 12][:, None]
+    rs = (prop_i >= STRUCTURE_BEGIN) & (prop_i < STRUCTURE_END)  # [B,1]
+    pp_i = rec[:, 3][:, None]
+    pa_i = rec[:, 4][:, None]
+    gci = (rec[:, 5][:, None], rec[:, 6][:, None], rec[:, 7][:, None])
+    mu_i = rec[:, 8][:, None]
+    a_i = rec[:, 14][:, None] * (ks.cof_k * ks.cof_k)
+
+    c_v = 8.0 if two_dimensional else 10.0
+    scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+
+    for o in range(len(offs_yz)):
+        pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
+            win_scratch.at[o],
+            sems.at[o],
+        ).wait()
+        win = win_scratch[o]
+        g = _edge_mask_and_geometry(rec, win, grid=grid, off_yz=offs_yz[o],
+                                    dtype=dtype)
+        id_j = win[:, 13][None, :]
+        valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+        valid = valid & (g["rij2"] <= grid.support * grid.support)
+        rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+        inv_r = 1.0 / rij
+        ex = g["xij"][0] * inv_r
+        ey = g["xij"][1] * inv_r
+        ez = g["xij"][2] * inv_r
+
+        prop_j = win[:, 12][None, :]
+        ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
+        ratio_ij = jnp.zeros_like(rij)
+        ratio_ji = jnp.zeros_like(rij)
+        for t in range(TYPE_COUNT):
+            sel = prop_j == float(t)
+            ratio_ij = ratio_ij + jnp.where(sel, rec[:, 15 + t][:, None], 0.0)
+            ratio_ji = ratio_ji + jnp.where(sel, rec[:, 21 + t][:, None], 0.0)
+
+        pp_j = win[:, 3][None, :]
+        pa_j = win[:, 4][None, :]
+        mu_j = win[:, 8][None, :]
+
+        # pressureP + FSI interface load (:2394-2424, :2439-2472)
+        m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
+        norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+        q_p = rij / ks.radius_p
+        dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+        coeff_pp = (pp_i + pp_j) * dwp * volume
+        radial = jnp.where(m_p & ~rs, coeff_pp, 0.0)
+        radial = radial + jnp.where(m_p & rs & ~ss, coeff_pp, 0.0)
+
+        # pressureA (:2225-2258)
+        m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+        q_a = rij / ks.radius_a
+        dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+            * (1.0 - q_a) * (1.0 - 3.0 * q_a) / ks.radius_a
+        coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
+        radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
+
+        # viscosity (:2478-2522)
+        m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+        ux = win[:, 9][None, :] - rec[:, 9][:, None]
+        uy = win[:, 10][None, :] - rec[:, 10][:, None]
+        uz = win[:, 11][None, :] - rec[:, 11][:, None]
+        udote = ux * ex + uy * ey + uz * ez
+        mu_den = mu_i + mu_j
+        mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
+                         / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
+        q_v = rij / ks.radius_v
+        dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+            * (-2.0 / ks.radius_v) * (1.0 - q_v)
+        coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
+        radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
+
+        fx = fx + radial * ex
+        fy = fy + radial * ey
+        fz = fz + radial * ez
+
+        # diffuse interface, two terms (:2261-2312); a_j uses CofA[prop_i]
+        m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+        q_g = rij / ks.radius_g
+        norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+        wgv = norm_g * (1.0 - q_g) ** 2
+        dwg = norm_g * (-2.0 / ks.radius_g) * (1.0 - q_g)
+        wij = ratio_ij * wgv
+        wji = ratio_ji * wgv
+        dwij = ratio_ij * dwg
+        dwji = ratio_ji * dwg
+        gcx_j = win[:, 5][None, :]
+        gcy_j = win[:, 6][None, :]
+        gcz_j = win[:, 7][None, :]
+        mdi = m_g & ~rs
+        t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
+        t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
+        t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
+        gr = a_i * (
+            (gcx_j * dwji - gci[0] * dwij) * g["xij"][0]
+            + (gcy_j * dwji - gci[1] * dwij) * g["xij"][1]
+            + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
+        )
+        fx = fx - jnp.where(mdi, t1x + gr * ex * scale_di, 0.0)
+        fy = fy - jnp.where(mdi, t1y + gr * ey * scale_di, 0.0)
+        fz = fz - jnp.where(mdi, t1z + gr * ez * scale_di, 0.0)
+
+    zeros = jnp.zeros((bsz,), dtype)
+    out_ref[:] = jnp.stack(
+        [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1),
+         zeros, zeros, zeros, zeros, zeros], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+def _pallas_sweep(kernel_fn, packed, win_start, n_off, cfg: PallasConfig,
+                  w: int, *, interpret: bool):
+    """Launch a phase kernel over all receiver blocks."""
+    n = packed.shape[0] - cfg.wmax  # padded tail
+    nblocks = n // cfg.block
+    dtype = packed.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((cfg.block, w), lambda b, *_: (b, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((cfg.block, 8), lambda b, *_: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_off, cfg.wmax, w), dtype),
+            pltpu.SemaphoreType.DMA((n_off,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel_fn,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 8), dtype),
+        interpret=interpret,
+    )(win_start, packed[:n], packed)
+
+
+def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
+                         tables, *, cfg: PallasConfig, interpret: bool = False):
+    """Pallas phase 1 (densities) + per-particle EOS.  Same output contract
+    as packed_engine.phase1_fields over the full frame."""
+    n = frame.pos.shape[0]
+    dtype = frame.pos.dtype
+    prop_i = jnp.clip(frame.prop, 0, TYPE_COUNT - 1)
+    ir_row = tables.interaction_ratio[prop_i]  # [N, 6]
+    propf = frame.prop.astype(dtype)
+    iotaf = jnp.arange(n, dtype=dtype)
+    packed1 = jnp.concatenate(
+        [frame.pos, frame.vel, propf[:, None], iotaf[:, None], ir_row,
+         jnp.zeros((n, P1_W - 14), dtype)], axis=1,
+    )
+    # pad the tail with poison rows (id = -1) so clipped windows stay in range
+    pad = jnp.zeros((1, P1_W), dtype).at[0, 7].set(-1.0)
+    cfg_w = cfg.wmax
+    packed1 = jnp.concatenate([packed1, jnp.tile(pad, (cfg_w, 1))], axis=0)
+
+    win_start, max_len = compute_windows(frame, grid, cfg)
+    offs, offs_yz = row_offsets(grid)
+    kern = functools.partial(
+        _phase1_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz
+    )
+    out = _pallas_sweep(kern, packed1, win_start, len(offs), cfg, P1_W,
+                        interpret=interpret)
+
+    da = out[:, 0]
+    gc = out[:, 1:4]
+    wp_sum = out[:, 4]
+    dvg = out[:, 5]
+    s_i = (frame.prop >= STRUCTURE_BEGIN) & (frame.prop < STRUCTURE_END)
+    da = jnp.where(s_i, 0.0, da)
+    gc = jnp.where(s_i[:, None], 0.0, gc)
+    vs = wp_sum - ks.n0p
+    kappa = jnp.where(vs < 0.0, 0.0, tables.bulk_modulus[prop_i])
+    lam = tables.bulk_viscosity[prop_i]
+    mu = tables.shear_viscosity[prop_i]
+    pp = -lam * dvg + jnp.where(vs > 0.0, kappa * vs, 0.0)
+    cof_a_i = tables.cof_a[prop_i]
+    pa = cof_a_i * (da - ks.n0a) / ks.spacing
+    pa = jnp.where(da >= ks.n0a, 0.0, pa)
+    return dict(
+        density_a=da, gravity_center=gc, vol_strain=vs, divergence=dvg,
+        pressure_p=pp, pressure_a=pa, mu=mu,
+        neighbor_count=out[:, 6].astype(jnp.int32),
+        cell_overflow=jnp.max(frame.cell_start[1:] - frame.cell_start[:-1]),
+        window_overflow=max_len,
+    )
+
+
+def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
+                         ks: KernelSet, tables, *, volume: float,
+                         two_dimensional: bool, cfg: PallasConfig,
+                         interpret: bool = False):
+    """Pallas phase 2 (forces) over the full frame; [N, 3] in sorted order."""
+    n = frame.pos.shape[0]
+    dtype = frame.pos.dtype
+    prop_i = jnp.clip(frame.prop, 0, TYPE_COUNT - 1)
+    ir_row = tables.interaction_ratio[prop_i]
+    ir_col = tables.interaction_ratio.T[prop_i]
+    cof_a_i = tables.cof_a[prop_i]
+    propf = frame.prop.astype(dtype)
+    iotaf = jnp.arange(n, dtype=dtype)
+    packed2 = jnp.concatenate(
+        [frame.pos, fields["pressure_p"][:, None], fields["pressure_a"][:, None],
+         fields["gravity_center"], fields["mu"][:, None], frame.vel,
+         propf[:, None], iotaf[:, None], cof_a_i[:, None], ir_row, ir_col,
+         jnp.zeros((n, P2_W - 27), dtype)], axis=1,
+    )
+    pad = jnp.zeros((1, P2_W), dtype).at[0, 13].set(-1.0)
+    packed2 = jnp.concatenate([packed2, jnp.tile(pad, (cfg.wmax, 1))], axis=0)
+
+    win_start, _ = compute_windows(frame, grid, cfg)
+    offs, offs_yz = row_offsets(grid)
+    kern = functools.partial(
+        _phase2_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz,
+        volume=volume, two_dimensional=two_dimensional,
+    )
+    out = _pallas_sweep(kern, packed2, win_start, len(offs), cfg, P2_W,
+                        interpret=interpret)
+    return out[:, 0:3]

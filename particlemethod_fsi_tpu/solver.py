@@ -34,6 +34,7 @@ from particlemethod_fsi_tpu.io.grid_file import GridData
 from particlemethod_fsi_tpu.ops import edge_math as em
 from particlemethod_fsi_tpu.ops import fluid as fl
 from particlemethod_fsi_tpu.ops import packed_engine as pk
+from particlemethod_fsi_tpu.ops import pallas_pairwise as pw
 from particlemethod_fsi_tpu.ops import solid as sl
 from particlemethod_fsi_tpu.ops import walls as wl
 from particlemethod_fsi_tpu.ops.neighbors import CellGrid, build_cell_grid, build_neighbor_list
@@ -112,6 +113,23 @@ class Simulation:
             self.tables, cfg.scene, self.domain_width,
             spatial_dim=cfg.spatial_dim,
         )
+
+        # pallas backend feasibility: windows are clipped, not wrapped, so no
+        # interacting pair may span the periodic boundary (see
+        # ops/pallas_pairwise.py); fall back to the packed engine otherwise
+        self._backend = cfg.numerics.backend
+        self._pallas_interpret = jax.default_backend() not in ("tpu",)
+        if self._backend == "pallas" and not pw.check_no_wrap_pairs(
+            self.cell_grid, self.state0.pos, np.asarray(self.state0.prop) >= 0,
+            self.kernels.support_radius,
+        ):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pallas backend: particles interact across the periodic "
+                "boundary; falling back to the packed backend"
+            )
+            self._backend = "packed"
 
         # note: only the chunked runner donates its carry; the single-step
         # path keeps inputs alive (callers re-use state0 / inspect states)
@@ -258,14 +276,31 @@ class Simulation:
 
     def _force(self, pos, vel, prop):
         """Total pairwise + body force, dispatched to the configured backend."""
-        if self.cfg.numerics.backend == "packed":
+        backend = self._backend
+        if backend in ("packed", "pallas"):
             frame = pk.sort_frame(pos, vel, prop, self.cell_grid)
-            force_s, _ = pk.packed_fluid_forces(
-                frame, self.cell_grid, self.kernels, self.tables,
-                volume=self.volume,
-                two_dimensional=self.cfg.two_dimensional,
-                cap=self.cfg.numerics.cell_capacity,
-            )
+            if backend == "pallas":
+                pcfg = pw.PallasConfig(
+                    block=self.cfg.numerics.pallas_block,
+                    wmax=self.cfg.numerics.pallas_wmax,
+                )
+                f1 = pw.phase1_fields_pallas(
+                    frame, self.cell_grid, self.kernels, self.tables,
+                    cfg=pcfg, interpret=self._pallas_interpret,
+                )
+                force_s = pw.phase2_forces_pallas(
+                    frame, f1, self.cell_grid, self.kernels, self.tables,
+                    volume=self.volume,
+                    two_dimensional=self.cfg.two_dimensional,
+                    cfg=pcfg, interpret=self._pallas_interpret,
+                )
+            else:
+                force_s, _ = pk.packed_fluid_forces(
+                    frame, self.cell_grid, self.kernels, self.tables,
+                    volume=self.volume,
+                    two_dimensional=self.cfg.two_dimensional,
+                    cap=self.cfg.numerics.cell_capacity,
+                )
             # gravity on fluid + structure, in sorted order
             sprop = frame.prop
             seg = Segments(sprop)

@@ -44,3 +44,14 @@ def test_packed_handles_cell_capacity_edge():
     a = run(grid, dam_like_config(backend="gather", cell_capacity=8), 5)
     b = run(grid, dam_like_config(backend="packed", cell_capacity=8), 5)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-16)
+
+
+def test_pallas_backend_agrees():
+    """Pallas window-sweep kernels (interpret mode on CPU) vs the packed
+    engine over several coupled steps."""
+    grid = mini_fsi()
+    base = dict(scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+    a = run(grid, dam_like_config(backend="packed").replace(**base), 6)
+    b = run(grid, dam_like_config(backend="pallas").replace(**base), 6)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-15)
