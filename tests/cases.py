@@ -98,3 +98,26 @@ def dam_like_config(scene: SceneConfig | None = None, **numerics_kw) -> CaseConf
         scene=scene if scene is not None else SCENES["dam"],
         numerics=NumericsConfig(**nkw),
     )
+
+
+def mini_dam_3d(nx=5, ny=8, nz=5):
+    """Small 3-D water blob + floor in a box."""
+    scene = BoidScene(
+        particle_distance=L0,
+        lower_domain=(-3 * L0, 0.0, -3 * L0),
+        upper_domain=(15 * L0, 20 * L0, 12 * L0),
+        primitives=[
+            Primitive("Cuboid", spacing=L0, type=1, lower=(0, 3 * L0, 0),
+                      upper=(nx * L0, (3 + ny) * L0, nz * L0)),
+            Primitive("Cuboid", spacing=L0, type=4, lower=(-2 * L0, 0, -2 * L0),
+                      upper=(12 * L0, 3 * L0, 10 * L0)),
+        ],
+    )
+    return generate_grid(scene)
+
+
+def config_3d(**numerics_kw) -> CaseConfig:
+    nkw = dict(dtype="float64", max_neighbors=96, max_initial_neighbors=96,
+               cell_capacity=32)
+    nkw.update(numerics_kw)
+    return dam_like_config(**nkw).replace(two_dimensional=False)

@@ -144,3 +144,35 @@ class TestCoupledFSI:
         np.testing.assert_allclose(eng["pos"], orc.pos, rtol=1e-10, atol=1e-14)
         np.testing.assert_allclose(eng["wall_center"], orc.wall_center,
                                    rtol=1e-12, atol=1e-15)
+
+
+class TestThreeDimensional:
+    def test_mini_3d_dam_vs_oracle(self):
+        from cases import config_3d, mini_dam_3d
+
+        grid = mini_dam_3d()
+        cfg = config_3d()
+        eng, orc, sim = run_pair(grid, cfg, 8, with_solid=False)
+        np.testing.assert_allclose(eng["pos"], orc.pos, rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(eng["vel"], orc.vel, rtol=1e-9, atol=1e-13)
+
+    def test_3d_backends_agree(self):
+        from cases import config_3d, mini_dam_3d
+        from particlemethod_fsi_tpu.state import to_numpy
+
+        grid = mini_dam_3d()
+        results = {}
+        for backend in ("gather", "packed", "pallas"):
+            sim = Simulation(config_3d(backend=backend), grid)
+            s = sim.state0
+            for _ in range(5):
+                s = sim.step(s)
+            results[backend] = to_numpy(s, grid.n)
+        # 3-D particle masses are 1000x smaller than 2-D (volume l0^3), so
+        # fp-summation-order noise amplifies to ~1e-10 over a few steps; a
+        # real neighbor-set discrepancy would show at >=1e-4
+        for b in ("packed", "pallas"):
+            np.testing.assert_allclose(results[b]["pos"], results["gather"]["pos"],
+                                       rtol=1e-6, atol=1e-8)
+            np.testing.assert_allclose(results[b]["vel"], results["gather"]["vel"],
+                                       rtol=1e-6, atol=1e-6)
