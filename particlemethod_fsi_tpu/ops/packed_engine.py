@@ -323,6 +323,83 @@ def packed_fluid_forces(
     return force, fields
 
 
+def packed_virial(
+    frame: SortedFrame, fields: dict, grid: CellGrid, ks: KernelSet,
+    tables: TypeTables, *, volume: float, two_dimensional: bool, cap: int,
+):
+    """Per-particle virial stress over packed candidates
+    (calculateVirialStressAtParticle, src/main.cpp:3077-3318): re-derives the
+    four pairwise force families weighted by the RECEIVER's pressure only
+    (P_i, not Pi+Pj) and accumulates sum f (x) xij / V.
+
+    Returns (virial_stress [9, N] row-major components, virial_pressure [N])
+    in SORTED order -- component-major to avoid trailing-dim tile padding.
+    """
+    n = frame.pos.shape[0]
+    dtype = frame.pos.dtype
+    # sender row: pos3 vel3 mu prop id -> pad to 16 lanes
+    packed = jnp.concatenate(
+        [frame.pos, frame.vel, fields["mu"][:, None],
+         frame.prop.astype(dtype)[:, None],
+         jnp.zeros((n, 7), dtype),  # pad to 16 lanes
+         jnp.arange(n, dtype=dtype)[:, None]], axis=1,
+    )
+    w = packed.shape[1]
+    cand, geom = _receiver_candidates(frame, receivers_of(frame), packed,
+                                      grid, cap, w)
+    prop_i, ir_row, _, cof_a_raw, _ = _type_rows(receivers_of(frame), tables)
+    ratio_ij = _ratio_lookup(ir_row, cand.field(7))
+
+    pp = fields["pressure_p"][:, None]
+    pa = fields["pressure_a"][:, None]
+    gc = fields["gravity_center"]  # [N, 3]
+    mu_i = fields["mu"][:, None]
+    mu_j = cand.field(6)
+    inv_v = 1.0 / volume
+    rij = geom.rij
+    valid = geom.valid
+
+    # radial coefficient assembled per family, then outer-product with xij
+    coeff = jnp.zeros_like(rij)
+
+    m_p = valid & (ks.radius_p**2 - geom.rij2 > 0)
+    coeff = coeff + jnp.where(m_p, pp * ks.dwpdr(rij) * volume, 0.0)
+
+    m_a = valid & (ks.radius_a**2 - geom.rij2 > 0)
+    coeff = coeff + jnp.where(m_a, pa * ratio_ij * ks.dwadr(rij) * volume, 0.0)
+
+    m_v = valid & (ks.radius_v**2 - geom.rij2 > 0)
+    c_v = 8.0 if two_dimensional else 10.0
+    vel_j = cand.vec(3)
+    uij = vel_j - frame.vel.T[:, :, None]
+    udote = jnp.sum(uij * geom.eij, axis=0)
+    den = mu_i + mu_j
+    mu_h = jnp.where(den > 0, 2.0 * mu_i * mu_j / jnp.where(den > 0, den, 1.0), 0.0)
+    visc = c_v * mu_h * udote * (-ks.dwvdr(rij)) / rij * volume
+    coeff = coeff + 0.5 * jnp.where(m_v, visc, 0.0)  # half-weighted (:3221)
+
+    # diffuse-interface second term is radial; first term is along -gc_i
+    m_g = valid & (ks.radius_g**2 - geom.rij2 > 0)
+    a_i = (tables.cof_a[prop_i] * ks.cof_k**2)[:, None]
+    scale = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+    gr = jnp.sum((-gc.T)[:, :, None] * geom.xij, axis=0)  # [N, M]
+    dterm = -a_i * gr * ratio_ij * ks.dwgdr(rij) * scale
+    coeff_r = coeff + jnp.where(m_g, dterm, 0.0)
+
+    w_g1 = jnp.where(m_g, a_i * ratio_ij * ks.wg(rij) * scale, 0.0)
+
+    comps = []
+    for a in range(3):
+        f_a = coeff_r * geom.eij[a] + w_g1 * gc[:, a][:, None]  # [N, M]
+        for b in range(3):
+            comps.append(jnp.sum(f_a * geom.xij[b], axis=-1) * inv_v)
+    stress = jnp.stack(comps, axis=0)  # [9, N]
+    d = 2.0 if two_dimensional else 3.0
+    tr = stress[0] + stress[4] + (0.0 if two_dimensional else stress[8])
+    vp = -tr / d
+    return stress, vp
+
+
 def unsort(frame: SortedFrame, *arrays):
     """Return arrays to original slot order with one multi-operand sort
     keyed on the original index (no gathers)."""

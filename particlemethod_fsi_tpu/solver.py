@@ -372,96 +372,90 @@ class Simulation:
 
     def _diagnostics(self, state: ParticleState) -> dict:
         """Output-time field recomputation (VTK fields + virial stress,
-        src/main.cpp:984-1189, 3077-3318)."""
+        src/main.cpp:984-1189, 3077-3318), on the packed engine so it scales
+        like the step (no [N,K,3,3]-style intermediates).
+
+        Tensor outputs are returned in memory-friendly layouts -- solid
+        tensors in compact subset space [S, sd, sd], virial components
+        [9, N] -- and assembled host-side by :meth:`diagnostics`."""
+        cfg = self.cfg
         prop, pos, vel = state.prop, state.pos, state.vel
-        force, fields = self._fluid_phase(pos, vel, prop)
+        frame = pk.sort_frame(pos, vel, prop, self.cell_grid)
+        rv = pk.receivers_of(frame)
+        f1 = pk.phase1_fields(frame, rv, self.cell_grid, self.kernels,
+                              self.tables, cap=cfg.numerics.cell_capacity)
+        force_s = pk.phase2_forces(
+            frame, rv, f1, f1, self.cell_grid, self.kernels, self.tables,
+            volume=self.volume, two_dimensional=cfg.two_dimensional,
+            cap=cfg.numerics.cell_capacity,
+        )
+        virial_s, vp_s = pk.packed_virial(
+            frame, f1, self.cell_grid, self.kernels, self.tables,
+            volume=self.volume, two_dimensional=cfg.two_dimensional,
+            cap=cfg.numerics.cell_capacity,
+        )
+        # un-sort everything back to slot order in one multi-operand sort
+        (force, pp, pa, vs, da, dvg, gc, nbr_count, vp, *virial_rows) = pk.unsort(
+            frame, force_s, f1["pressure_p"], f1["pressure_a"],
+            f1["vol_strain"], f1["density_a"], f1["divergence"],
+            f1["gravity_center"], f1["neighbor_count"].astype(pos.dtype),
+            vp_s, *[virial_s[c] for c in range(9)],
+        )
+
         f = sl.deformation_gradient_subset(
             pos[self.solid.s_idx], self.solid, self.domain_width
         )
         strain, stress = sl.stvk_stress(f, self.solid.lam, self.solid.mu)
         seg = Segments(prop)
-        mass = fields["mass"]
+        mass = self.tables.density[jnp.clip(prop, 0, 5)] * self.volume
+        grav = jnp.asarray(cfg.gravity, dtype=pos.dtype)
+        fs = seg.fluid | seg.structure
+        force = force + jnp.where(fs[:, None], mass[:, None] * grav, 0.0)
         accel = jnp.where(
             seg.fluid[:, None], force / jnp.where(mass > 0, mass, 1.0)[:, None], 0.0
         )
-        virial_stress, virial_pressure = self._virial(fields, vel, prop)
-        to_full = lambda t: sl.subset_tensors_to_full(t, self.solid, self.n_pad)
         return dict(
             force=force,
             accel=accel,
-            strain=to_full(strain),
-            stress=to_full(stress),
-            deform_gradient=to_full(f),
-            pressure_p=fields["pressure_p"],
-            pressure_a=fields["pressure_a"],
-            vol_strain=fields["vol_strain"],
-            density_a=fields["density_a"],
-            neighbor_count=fields["nbr"].count,
+            strain_subset=strain,
+            stress_subset=stress,
+            deform_subset=f,
+            pressure_p=pp,
+            pressure_a=pa,
+            vol_strain=vs,
+            density_a=da,
+            gravity_center=gc,
+            neighbor_count=nbr_count.astype(jnp.int32),
             initial_neighbor_count=self.solid.count0_full,
-            cell_overflow=fields["nbr"].cell_overflow,
-            virial_stress=virial_stress,
-            virial_pressure=virial_pressure,
+            cell_overflow=f1["cell_overflow"],
+            virial_rows=jnp.stack(virial_rows),
+            virial_pressure=vp,
             max_speed=jnp.max(
                 jnp.where(seg.valid, jnp.linalg.norm(vel, axis=1), 0.0)
             ),
         )
 
-    def _virial(self, fields, vel, prop):
-        """Per-particle virial stress from the four pairwise force families
-        (calculateVirialStressAtParticle, src/main.cpp:3077-3318)."""
-        ks, tables, volume = self.kernels, self.tables, self.volume
-        ctx = fields["ctx"]
-        pp, pa, gc, mu = (fields["pressure_p"], fields["pressure_a"],
-                          fields["gravity_center"], fields["mu"])
-        inv_v = 1.0 / volume
-
-        def outer_sum(coeff_vec, mask):  # sum over K of f (x) xij
-            term = coeff_vec[..., None] * ctx.xij[..., None, :]  # [N,K,3,3]
-            return jnp.sum(jnp.where(mask[..., None, None], term, 0.0), axis=1)
-
-        # pressureP: fij = P_i grad(wp) V  (src/main.cpp:3112-3127)
-        m = ctx.mask & (ks.radius_p**2 - ctx.rij2 > 0)
-        gradw = ks.dwpdr(ctx.rij)[..., None] * ctx.eij
-        stress = outer_sum(pp[:, None, None] * gradw * volume * inv_v, m)
-
-        # pressureA: fij = P_i ratio dwa e V  (src/main.cpp:3156-3172)
-        m = ctx.mask & (ks.radius_a**2 - ctx.rij2 > 0)
-        gradwa = (ctx.ratio_ij * ks.dwadr(ctx.rij))[..., None] * ctx.eij
-        stress = stress + outer_sum(pa[:, None, None] * gradwa * volume * inv_v, m)
-
-        # viscosity: half-weighted (src/main.cpp:3202-3224)
-        m = ctx.mask & (ks.radius_v**2 - ctx.rij2 > 0)
-        c = 8.0 if self.cfg.two_dimensional else 10.0
-        uij = vel[ctx.j] - vel[:, None, :]
-        udote = jnp.sum(uij * ctx.eij, axis=-1)
-        mu_i, mu_j = mu[:, None], mu[ctx.j]
-        den = mu_i + mu_j
-        mu_h = jnp.where(den > 0, 2.0 * mu_i * mu_j / jnp.where(den > 0, den, 1.0), 0.0)
-        fij = (c * mu_h * udote * (-ks.dwvdr(ctx.rij)) / ctx.rij * volume)[..., None] * ctx.eij
-        stress = stress + 0.5 * outer_sum(fij * inv_v, m)
-
-        # diffuse interface, both terms with -GravityCenter_i only
-        # (src/main.cpp:3252-3295)
-        m = ctx.mask & (ks.radius_g**2 - ctx.rij2 > 0)
-        a_i = (tables.cof_a[ctx.prop_i] * ks.cof_k**2)[:, None]
-        scale = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
-        w_g = ctx.ratio_ij * ks.wg(ctx.rij)
-        f1 = -a_i[..., None] * (-gc[:, None, :]) * w_g[..., None] * scale
-        stress = stress + outer_sum(f1 * inv_v, m)
-        dw_g = ctx.ratio_ij * ks.dwgdr(ctx.rij)
-        gr = jnp.sum(-gc[:, None, :] * ctx.xij, axis=-1)
-        f2 = -(a_i * gr)[..., None] * dw_g[..., None] * ctx.eij * scale
-        stress = stress + outer_sum(f2 * inv_v, m)
-
-        d = 2.0 if self.cfg.two_dimensional else 3.0
-        vp = -jnp.trace(stress, axis1=-2, axis2=-1) / d
-        if self.cfg.two_dimensional:
-            vp = -(stress[:, 0, 0] + stress[:, 1, 1]) / 2.0
-        return stress, vp
-
     def diagnostics(self, state: ParticleState) -> dict:
-        out = self._diag_jit(state)
-        return {k: np.asarray(v) for k, v in out.items()}
+        """Device diagnostics + host-side tensor assembly (full [N,3,3]
+        arrays are built in numpy -- on-device they would tile-pad 42x)."""
+        out = {k: np.asarray(v) for k, v in self._diag_jit(state).items()}
+        s_idx = np.asarray(self.solid.s_idx)
+        s_valid = np.asarray(self.solid.s_valid)
+
+        def full_tensor(sub):
+            t = np.zeros((self.n_pad, 3, 3), dtype=sub.dtype)
+            sd = sub.shape[-1]
+            t[s_idx[s_valid], :sd, :sd] = sub[s_valid]
+            return t
+
+        out["strain"] = full_tensor(out.pop("strain_subset"))
+        out["stress"] = full_tensor(out.pop("stress_subset"))
+        out["deform_gradient"] = full_tensor(out.pop("deform_subset"))
+        vir = out.pop("virial_rows")  # [9, N]
+        out["virial_stress"] = np.ascontiguousarray(vir.T).reshape(
+            self.n_pad, 3, 3
+        )
+        return out
 
 
 def load_case(data_path, grid_path, *, scene="none", compat=None, numerics=None) -> "tuple[CaseConfig, GridData]":
