@@ -400,9 +400,9 @@ def packed_virial(
     return stress, vp
 
 
-def unsort(frame: SortedFrame, *arrays):
-    """Return arrays to original slot order with one multi-operand sort
-    keyed on the original index (no gathers)."""
+def apply_key_sort(keys, *arrays):
+    """Reorder arrays by ascending `keys` with one multi-operand sort
+    (the gather-free permutation primitive)."""
     flat = []
     specs = []
     for a in arrays:
@@ -413,7 +413,7 @@ def unsort(frame: SortedFrame, *arrays):
             specs.append(a.shape[1])
             for c in range(a.shape[1]):
                 flat.append(a[:, c])
-    out = jax.lax.sort((frame.orig, *flat), num_keys=1)[1:]
+    out = jax.lax.sort((keys, *flat), num_keys=1)[1:]
     res = []
     i = 0
     for ncols in specs:
@@ -424,3 +424,16 @@ def unsort(frame: SortedFrame, *arrays):
             res.append(jnp.stack(out[i : i + ncols], axis=1))
             i += ncols
     return res
+
+
+def unsort(frame: SortedFrame, *arrays):
+    """Return sorted-order arrays to original slot order (one key sort)."""
+    return apply_key_sort(frame.orig, *arrays)
+
+
+def resort(frame: SortedFrame, *arrays):
+    """Take original-slot-order arrays INTO the frame's sorted order: sort
+    by the inverse permutation (two key sorts total, no gathers)."""
+    n = frame.orig.shape[0]
+    (inv,) = unsort(frame, jnp.arange(n, dtype=jnp.int32))
+    return apply_key_sort(inv, *arrays)
