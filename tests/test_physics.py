@@ -193,3 +193,35 @@ class TestWatchdogAndCheckpoint:
         vel[0, 0] = 100.0
         bad = check_state(pos, vel, np.ones(4, bool), speed_limit=1.0)
         assert not bad.ok and "max speed" in bad.reason
+
+
+class TestBarFrequencyOracle:
+    def test_first_mode_frequency_vs_euler_bernoulli(self):
+        """Cantilever first-bending-mode period within 25% of the
+        Euler-Bernoulli analytic value (SURVEY section 4 oracle; EB slightly
+        overestimates f for this stubby L/h=5 beam, so the particle solid
+        reading ~14% low is physically consistent)."""
+        import math
+
+        grid = mini_bar(nx=20, ny=4)
+        cfg = dam_like_config(max_initial_neighbors=64).replace(
+            scene=SCENES["bar"], gravity=(0, 0, 0), dt=1e-4, elastic_dt=1e-5,
+        )
+        cfg = cfg.replace(compat=cfg.compat.__class__(
+            double_substep_position_update=False))
+        sim = Simulation(cfg, grid)
+        s = sim.apply_initial_velocity_profile(sim.state0)
+        tip = np.argmax(grid.initial_position[:, 0])
+        hist = []
+        for _ in range(85):
+            s = sim.run_chunk(s, 10)  # 1 ms per sample
+            out = to_numpy(s, grid.n)
+            hist.append(out["pos"][tip, 1] - grid.initial_position[tip, 1])
+        hist = np.asarray(hist)
+        crossings = np.nonzero(np.diff(np.sign(hist)))[0]
+        assert len(crossings) >= 2, "tip never completed a half period"
+        period_ms = 2.0 * (crossings[1] - crossings[0])
+        f_measured = 1000.0 / period_ms
+        L, h, E, rho = 0.02, 0.004, 1e5, 1.1e3
+        f_eb = 1.875**2 / (2 * math.pi * L**2) * math.sqrt(E * h**2 / (12 * rho))
+        assert abs(f_measured - f_eb) / f_eb < 0.25, (f_measured, f_eb)
