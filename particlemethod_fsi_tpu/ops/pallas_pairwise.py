@@ -134,14 +134,10 @@ def _edge_mask_and_geometry(rec, win, *, grid: CellGrid, off_yz, dtype):
     oy, oz = off_yz
 
     def cell_coord(x, d):
-        return jnp.floor((x - dmin[d]) / jnp.asarray(cw[d], dtype))
-
-    xi = rec[:, 0][:, None]
-    yi = rec[:, 1][:, None]
-    zi = rec[:, 2][:, None]
-    xj = win[:, 0][None, :]
-    yj = win[:, 1][None, :]
-    zj = win[:, 2][None, :]
+        # clipped exactly like the sort's cell assignment
+        # (packed_engine._cell_key) so domain-edge particles agree
+        c = jnp.floor((x - dmin[d]) / jnp.asarray(cw[d], dtype))
+        return jnp.clip(c, 0.0, float(grid.cell_count[d] - 1))
 
     # exact cell-ring membership for this row offset
     cxi = cell_coord(rec[:, 0], 0)[:, None]
@@ -154,9 +150,9 @@ def _edge_mask_and_geometry(rec, win, *, grid: CellGrid, off_yz, dtype):
         czj = cell_coord(win[:, 2], 2)[None, :]
         ring = ring & (czj - czi == float(oz))
 
-    dxx = xj - xi
-    dyy = yj - yi
-    dzz = zj - zi
+    dxx = win[:, 0][None, :] - rec[:, 0][:, None]
+    dyy = win[:, 1][None, :] - rec[:, 1][:, None]
+    dzz = win[:, 2][None, :] - rec[:, 2][:, None]
     rij2 = dxx * dxx + dyy * dyy + dzz * dzz
     return dict(xij=(dxx, dyy, dzz), rij2=rij2, ring=ring)
 
