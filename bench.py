@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def build_case(n_side: int):
+def build_case(n_side: int, backend: str = "packed"):
     from particlemethod_fsi_tpu.config import CaseConfig, NumericsConfig, SCENES
     from particlemethod_fsi_tpu.generator import BoidScene, Primitive, generate_grid
     from particlemethod_fsi_tpu.solver import Simulation
@@ -54,37 +54,73 @@ def build_case(n_side: int):
         poisson_ratio=(0.0, 0.0, 0.2, 0.4, 0.3, 0.3),
         gravity=(0.0, -9.81, 0.0),
         scene=SCENES["dam"],
-        numerics=NumericsConfig(backend="packed", cell_capacity=8),
+        # cap 12 covers compressed 2-D cells (~9 lattice sites + margin);
+        # pallas_block 32 keeps worst-case window lengths under wmax=128
+        numerics=NumericsConfig(backend=backend, cell_capacity=12,
+                                pallas_block=32, pallas_wmax=128),
     )
     return Simulation(cfg, grid)
 
 
-def main():
-    sim = build_case(n_side=350)  # ~190k particles coupled FSI
+def _measure(n_side: int, backend: str):
+    sim = build_case(n_side=n_side, backend=backend)
     n = sim.n
-
     state = sim.run_chunk(sim.state0, 10)  # compile + warm up
     state.pos.block_until_ready()
-
     times = []
     for _ in range(3):
         t0 = time.time()
         state = sim.run_chunk(state, 20)
         state.pos.block_until_ready()
         times.append((time.time() - t0) / 20)
-    step_s = float(np.median(times))
-    value = n / step_s
-    vs_baseline = value / 1.0e8
+    assert np.isfinite(np.asarray(state.pos)).all()
+    if backend == "pallas":
+        # windows must not have overflowed (missing pairs would be silent)
+        from particlemethod_fsi_tpu.ops import packed_engine as pk
+        from particlemethod_fsi_tpu.ops import pallas_pairwise as pw
 
-    print(json.dumps({
-        "metric": f"particle-steps/s/chip, {n}-particle 2-D dam-break FSI "
-                  f"(coupled fluid+elastic bar), packed backend",
-        "value": round(value, 1),
-        "unit": "particle-steps/s/chip",
-        "vs_baseline": round(vs_baseline, 4),
-        "step_ms": round(step_s * 1000, 3),
-        "particles": n,
-    }))
+        frame = pk.sort_frame(state.pos, state.vel, state.prop, sim.cell_grid)
+        _, max_len = pw.compute_windows(
+            frame, sim.cell_grid,
+            pw.PallasConfig(block=sim.cfg.numerics.pallas_block,
+                            wmax=sim.cfg.numerics.pallas_wmax),
+        )
+        assert int(max_len) <= sim.cfg.numerics.pallas_wmax, (
+            f"pallas window overflow: {int(max_len)}"
+        )
+    return n, float(np.median(times))
+
+
+def main():
+    import sys
+
+    # prefer the pallas window-sweep backend, largest case that fits;
+    # degrade gracefully (backend fallback, smaller sizes) so the bench
+    # always reports a number
+    last_err = None
+    for backend in ("pallas", "packed"):
+        for n_side in (350, 250, 150):
+            try:
+                n, step_s = _measure(n_side, backend)
+            except Exception as e:  # OOM / compile failure -> degrade
+                last_err = e
+                print(f"# bench fallback: {backend}@{n_side} failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
+                continue
+            value = n / step_s
+            print(json.dumps({
+                "metric": f"particle-steps/s/chip, {n}-particle 2-D "
+                          f"dam-break FSI (coupled fluid+elastic bar), "
+                          f"{backend} backend",
+                "value": round(value, 1),
+                "unit": "particle-steps/s/chip",
+                "vs_baseline": round(value / 1.0e8, 4),
+                "step_ms": round(step_s * 1000, 3),
+                "particles": n,
+                "backend": backend,
+            }))
+            return
+    raise SystemExit(f"bench failed at all sizes/backends: {last_err}")
 
 
 if __name__ == "__main__":
