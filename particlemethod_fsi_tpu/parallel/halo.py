@@ -2,8 +2,8 @@
 particle migration and ghost-halo exchange over ``ppermute``.
 
 The all-gather path (``parallel/sharding.py``) replicates O(N) state per
-chip; this module is the scalable design: each shard owns the particles in
-one x-slab of the domain, and per step exchanges only
+chip; this module is the scalable design: each shard owns the fluid/wall
+particles in one x-slab of the domain, and per step exchanges only
 
 * migrants -- particles whose positions crossed into a neighboring slab
   (at most one slab per step given the CFL-bounded motion), and
@@ -17,9 +17,13 @@ section 5).  Everything is shape-static: membership changes are expressed as
 multi-operand ``lax.sort`` compactions (the same primitive the engines
 already lean on), never dynamic shapes.
 
-Scope (round 1): fluid + wall scenes.  Structure particles require static
-global neighbor lists that span shards; coupled-FSI scenes fall back to the
-all-gather path at setup.
+Coupled FSI: structure particles are REPLICATED on every shard in the
+compact solid-subset order (their count is small relative to the fluid).
+They participate as senders in every shard's local frame, their receiver
+sums (densities, EOS fields, interface force) are computed only on the
+shard that owns their current slab -- whose halo covers their full fluid
+neighborhood -- and shared with one owner-masked ``psum``; the elastic
+substeps then run replicated and deterministic on all shards.
 
 Overflow handling: slab occupancy, migration and halo buffer overflows are
 counted and surfaced (like neighbor overflow elsewhere), never silent.
@@ -27,22 +31,38 @@ counted and surfaced (like neighbor overflow elsewhere), never silent.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from particlemethod_fsi_tpu.ops import packed_engine as pk
+from particlemethod_fsi_tpu.ops import solid as sl
 from particlemethod_fsi_tpu.ops import walls as wl
-from particlemethod_fsi_tpu.state import ParticleState, Segments
+from particlemethod_fsi_tpu.state import Segments
 
 
 class HaloConfig(NamedTuple):
-    capacity: int  # per-shard particle slots (own particles)
+    capacity: int  # per-shard particle slots (own fluid/wall particles)
     migration_cap: int = 256  # max migrants per direction per step
     halo_cap: int = 2048  # max halo particles per direction
+
+
+@struct.dataclass
+class HaloState:
+    """Slab-sharded fluid/wall arrays + replicated structure subset."""
+
+    prop: jax.Array  # [ndev*cap] int32, -1 = empty
+    pos: jax.Array  # [ndev*cap, 3]
+    pos0: jax.Array
+    vel: jax.Array
+    s_pos: jax.Array  # [S_pad, 3] replicated structure positions
+    s_vel: jax.Array  # [S_pad, 3]
+    wall_center: jax.Array
+    time: jax.Array
 
 
 def _slab_bounds(sim, ndev):
@@ -55,18 +75,18 @@ def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 2.0) -> Hal
     """Size the per-shard buffers from the case geometry."""
     cap = int(np.ceil(sim.n_pad * occupancy_margin / ndev / 128.0)) * 128
     # halo strip: one support radius of the slab's cross-section
-    area = sim.domain_width[1] * (sim.domain_width[2] if not sim.cfg.two_dimensional else sim.spacing)
+    area = sim.domain_width[1] * (
+        sim.domain_width[2] if not sim.cfg.two_dimensional else sim.spacing
+    )
     strip_particles = area * sim.kernels.support_radius / sim.volume
     halo = int(np.ceil(strip_particles * occupancy_margin / 128.0)) * 128
     mig = max(256, halo // 4)
     return HaloConfig(capacity=cap, migration_cap=mig, halo_cap=halo)
 
 
-def partition_state(sim, mesh: Mesh, hcfg: HaloConfig):
-    """Host-side initial partition of state0 into per-shard slabs.
-
-    Returns a ParticleState whose particle arrays are [ndev*capacity]
-    sharded along the mesh; empty slots carry prop = -1."""
+def partition_state(sim, mesh: Mesh, hcfg: HaloConfig) -> HaloState:
+    """Host-side initial partition: fluid/wall particles into per-shard
+    slabs; structure particles into the replicated solid-subset arrays."""
     ndev = mesh.devices.size
     x0, w = _slab_bounds(sim, ndev)
     s = sim.state0
@@ -74,7 +94,8 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig):
     pos = np.asarray(s.pos)
     vel = np.asarray(s.vel)
     pos0 = np.asarray(s.pos0)
-    valid = prop >= 0
+    is_struct = (prop >= 2) & (prop < 4)
+    valid = (prop >= 0) & ~is_struct
     dest = np.clip(((pos[:, 0] - x0) // w).astype(np.int64), 0, ndev - 1)
 
     c = hcfg.capacity
@@ -89,34 +110,46 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig):
                 f"slab {r} holds {idx.size} particles > capacity {c}; raise "
                 "HaloConfig.capacity"
             )
-        sl = slice(r * c, r * c + idx.size)
-        out_prop[sl] = prop[idx]
-        out_pos[sl] = pos[idx]
-        out_vel[sl] = vel[idx]
-        out_pos0[sl] = pos0[idx]
+        sli = slice(r * c, r * c + idx.size)
+        out_prop[sli] = prop[idx]
+        out_pos[sli] = pos[idx]
+        out_vel[sli] = vel[idx]
+        out_pos0[sli] = pos0[idx]
+
+    # replicated structure subset (solid-static order)
+    s_idx = np.asarray(sim.solid.s_idx)
+    s_valid = np.asarray(sim.solid.s_valid)
+    safe = np.where(s_valid, s_idx, 0)
+    s_pos = np.where(s_valid[:, None], pos[safe], 0.0)
+    s_vel = np.where(s_valid[:, None], vel[safe], 0.0)
 
     pspec = NamedSharding(mesh, P("dp"))
     rspec = NamedSharding(mesh, P())
-    return ParticleState(
+    return HaloState(
         prop=jax.device_put(jnp.asarray(out_prop), pspec),
         pos=jax.device_put(jnp.asarray(out_pos), pspec),
         pos0=jax.device_put(jnp.asarray(out_pos0), pspec),
         vel=jax.device_put(jnp.asarray(out_vel), pspec),
+        s_pos=jax.device_put(jnp.asarray(s_pos, dtype=pos.dtype), rspec),
+        s_vel=jax.device_put(jnp.asarray(s_vel, dtype=vel.dtype), rspec),
         wall_center=jax.device_put(s.wall_center, rspec),
         time=jax.device_put(s.time, rspec),
     )
 
 
-def gather_state(state: ParticleState, n: int) -> dict:
-    """Collect a halo-sharded state back to host order-independent arrays
-    (valid rows only, sorted by nothing in particular)."""
+def gather_state(sim, state: HaloState) -> dict:
+    """Collect a halo-sharded state back to host arrays (fluid/wall rows in
+    arbitrary order + structure rows in subset order)."""
     prop = np.asarray(state.prop)
     keep = prop >= 0
+    s_valid = np.asarray(sim.solid.s_valid)
+    s_prop = np.asarray(sim.state0.prop)[np.where(s_valid, np.asarray(sim.solid.s_idx), 0)]
     return dict(
-        prop=prop[keep],
-        pos=np.asarray(state.pos)[keep],
-        pos0=np.asarray(state.pos0)[keep],
-        vel=np.asarray(state.vel)[keep],
+        prop=np.concatenate([prop[keep], s_prop[s_valid]]),
+        pos=np.concatenate([np.asarray(state.pos)[keep],
+                            np.asarray(state.s_pos)[s_valid]]),
+        vel=np.concatenate([np.asarray(state.vel)[keep],
+                            np.asarray(state.s_vel)[s_valid]]),
         time=float(state.time),
     )
 
@@ -124,7 +157,6 @@ def gather_state(state: ParticleState, n: int) -> dict:
 def _extract(buf_cap: int, key_first, *fields):
     """Fixed-size extraction: stable-sort rows so `key_first` rows lead,
     return the first buf_cap rows of each field plus the leading mask."""
-    n = key_first.shape[0]
     key = jnp.where(key_first, 0, 1).astype(jnp.int32)
     flat, specs = [], []
     for a in fields:
@@ -151,20 +183,9 @@ def _extract(buf_cap: int, key_first, *fields):
     return res, mask, overflow
 
 
-def _compact(cap: int, valid, *fields):
-    """Sort valid rows first and truncate to cap (fixed-size set union)."""
-    res, mask, overflow = _extract(cap, valid, *fields)
-    return res, mask, overflow
-
-
-def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
-    """Build the jitted halo-exchange step.  Requires a structure-free scene
-    (coupled FSI uses parallel/sharding.py for now)."""
-    if sim.has_structure:
-        raise NotImplementedError(
-            "halo-sharded stepping supports fluid+wall scenes; use "
-            "parallel.sharding.make_sharded_step for coupled FSI"
-        )
+def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
+    """Build the jitted halo-exchange step (fluid/wall sharded; structure
+    replicated when present)."""
     ndev = mesh.devices.size
     hcfg = hcfg or default_halo_config(sim, ndev)
     cfg = sim.cfg
@@ -173,14 +194,23 @@ def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
     x0, slab_w = _slab_bounds(sim, ndev)
     support = sim.kernels.support_radius
     grav = np.asarray(cfg.gravity)
+    solid = sim.solid
+    s_pad = solid.s_pad if sim.has_structure else 0
+    # static structure metadata (replicated closure constants)
+    s_prop_host = np.full(max(s_pad, 1), -1, dtype=np.int32)
+    if sim.has_structure:
+        sv = np.asarray(solid.s_valid)
+        si = np.where(sv, np.asarray(solid.s_idx), 0)
+        s_prop_host = np.where(sv, np.asarray(sim.state0.prop)[si], -1).astype(np.int32)
 
     def perm(direction):
         # ring neighbors (periodic domain => circular ring)
         return [(r, (r + direction) % ndev) for r in range(ndev)]
 
-    def step_local(prop, pos, pos0, vel, wall_center, time):
+    def step_local(prop, pos, pos0, vel, s_pos, s_vel, wall_center, time):
         rank = jax.lax.axis_index("dp")
         valid = prop >= 0
+        dtype = pos.dtype
 
         # --- elementwise pre-steps ---------------------------------------
         if cfg.scene.velocity_profile == "turek_inlet":
@@ -192,14 +222,15 @@ def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
             freeze=cfg.compat.freeze_wall_motion,
         )
         pos = wl.periodic_wrap(pos, sim.domain_min, sim.domain_width)
+        if sim.has_structure:
+            s_pos = wl.periodic_wrap(s_pos, sim.domain_min, sim.domain_width)
 
         # --- migration: move crossers to the neighbor slab ----------------
-        slab_lo = x0 + rank.astype(pos.dtype) * slab_w
+        slab_lo = x0 + rank.astype(dtype) * slab_w
         slab_hi = slab_lo + slab_w
         go_left = valid & (pos[:, 0] < slab_lo)
         go_right = valid & (pos[:, 0] >= slab_hi)
-        # wrap-around: slab 0's "left" is the top slab via the periodic ring
-        propf = prop.astype(pos.dtype)
+        propf = prop.astype(dtype)
 
         (lf, lp, lv, lp0), lmask, lover = _extract(mig, go_left, propf, pos, vel, pos0)
         (rf, rp, rv, rp0), rmask, rover = _extract(mig, go_right, propf, pos, vel, pos0)
@@ -215,7 +246,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
         all_pos = jnp.concatenate([pos, recv_right[1], recv_left[1]])
         all_vel = jnp.concatenate([vel, recv_right[2], recv_left[2]])
         all_pos0 = jnp.concatenate([pos0, recv_right[3], recv_left[3]])
-        (propf2, pos, vel, pos0), cmask, cover = _compact(
+        (propf2, pos, vel, pos0), cmask, cover = _extract(
             cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0
         )
         prop = jnp.where(cmask, propf2, -1.0).astype(jnp.int32)
@@ -224,7 +255,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
         # --- halo strips (one support radius inside each edge) ------------
         strip_l = valid & (pos[:, 0] < slab_lo + support)
         strip_r = valid & (pos[:, 0] >= slab_hi - support)
-        propf = prop.astype(pos.dtype)
+        propf = prop.astype(dtype)
         (slf, slp, slv), slmask, sover1 = _extract(hal, strip_l, propf, pos, vel)
         (srf, srp, srv), srmask, sover2 = _extract(hal, strip_r, propf, pos, vel)
         slf = jnp.where(slmask, slf, -1.0)
@@ -232,29 +263,35 @@ def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
         ghosts_r = [jax.lax.ppermute(x, "dp", perm(-1)) for x in (slf, slp, slv)]
         ghosts_l = [jax.lax.ppermute(x, "dp", perm(+1)) for x in (srf, srp, srv)]
 
-        # local frame: own rows + ghosts (receive-only senders)
-        fprop = jnp.concatenate([propf, ghosts_l[0], ghosts_r[0]]).astype(jnp.int32)
-        fpos = jnp.concatenate([pos, ghosts_l[1], ghosts_r[1]])
-        fvel = jnp.concatenate([vel, ghosts_l[2], ghosts_r[2]])
-        own = jnp.concatenate([
-            jnp.ones((cap,), bool),
-            jnp.zeros((2 * hal,), bool),
-        ])
+        # local frame: own rows + ghosts + replicated structure rows
+        parts_prop = [propf, ghosts_l[0], ghosts_r[0]]
+        parts_pos = [pos, ghosts_l[1], ghosts_r[1]]
+        parts_vel = [vel, ghosts_l[2], ghosts_r[2]]
+        if sim.has_structure:
+            parts_prop.append(jnp.asarray(s_prop_host, dtype))
+            parts_pos.append(s_pos)
+            parts_vel.append(s_vel)
+        fprop = jnp.concatenate(parts_prop).astype(jnp.int32)
+        fpos = jnp.concatenate(parts_pos)
+        fvel = jnp.concatenate(parts_vel)
+        n_rows = fprop.shape[0]
+        struct_base = cap + 2 * hal
 
         frame = pk.sort_frame(fpos, fvel, fprop, sim.cell_grid)
 
-        # --- phase 1 on own rows; ghost fields come from their owners -----
+        # --- phase 1 everywhere; authoritative fields from the owners -----
         rv_all = pk.receivers_of(frame)
         f1 = pk.phase1_fields(frame, rv_all, sim.cell_grid, sim.kernels,
                               sim.tables, cap=cfg.numerics.cell_capacity)
-        # back to pre-sort row order to slice own/ghost blocks
-        f1_rows = pk.unsort(frame, f1["pressure_p"], f1["pressure_a"],
-                            f1["gravity_center"], f1["mu"])
-        pp_r, pa_r, gc_r, mu_r = f1_rows  # [cap + 2*hal] in frame-input order
+        # back to pre-sort row order to slice own/ghost/structure blocks
+        pp_r, pa_r, gc_r, mu_r = pk.unsort(
+            frame, f1["pressure_p"], f1["pressure_a"],
+            f1["gravity_center"], f1["mu"],
+        )
         own_sl = lambda a: a[:cap]
 
-        # exchange phase-1 fields for the SAME strips (deterministic
-        # extraction order: identical keys + stable sort)
+        # fluid ghosts: exchange fields for the SAME strips (deterministic
+        # extraction: identical keys + stable sort)
         (el_pp, el_pa, el_gc, el_mu), _, _ = _extract(
             hal, strip_l, own_sl(pp_r), own_sl(pa_r), own_sl(gc_r), own_sl(mu_r))
         (er_pp, er_pa, er_gc, er_mu), _, _ = _extract(
@@ -262,54 +299,96 @@ def make_halo_step(sim, mesh: Mesh, hcfg: HaloConfig | None = None):
         gl = [jax.lax.ppermute(x, "dp", perm(+1)) for x in (er_pp, er_pa, er_gc, er_mu)]
         gr_ = [jax.lax.ppermute(x, "dp", perm(-1)) for x in (el_pp, el_pa, el_gc, el_mu)]
 
-        pp_rows = jnp.concatenate([own_sl(pp_r), gl[0], gr_[0]])
-        pa_rows = jnp.concatenate([own_sl(pa_r), gl[1], gr_[1]])
-        gc_rows = jnp.concatenate([own_sl(gc_r), gl[2], gr_[2]])
-        mu_rows = jnp.concatenate([own_sl(mu_r), gl[3], gr_[3]])
-        # into sorted order for the phase-2 sender table
+        parts_pp = [own_sl(pp_r), gl[0], gr_[0]]
+        parts_pa = [own_sl(pa_r), gl[1], gr_[1]]
+        parts_gc = [own_sl(gc_r), gl[2], gr_[2]]
+        parts_mu = [own_sl(mu_r), gl[3], gr_[3]]
+
+        if sim.has_structure:
+            # structure fields: owner shard's values, shared by psum
+            s_own = solid.s_valid & (s_pos[:, 0] >= slab_lo) & (s_pos[:, 0] < slab_hi)
+            def owner_sum(a):
+                m = s_own if a.ndim == 1 else s_own[:, None]
+                return jax.lax.psum(jnp.where(m, a, 0.0), "dp")
+
+            s_pp = owner_sum(pp_r[struct_base:])
+            s_pa = owner_sum(pa_r[struct_base:])
+            s_gc = owner_sum(gc_r[struct_base:])
+            s_mu_f = jnp.where(solid.s_valid,
+                               sim.tables.shear_viscosity[
+                                   jnp.clip(jnp.asarray(s_prop_host), 0, 5)], 0.0)
+            parts_pp.append(s_pp)
+            parts_pa.append(s_pa)
+            parts_gc.append(s_gc)
+            parts_mu.append(s_mu_f)
+
+        pp_rows = jnp.concatenate(parts_pp)
+        pa_rows = jnp.concatenate(parts_pa)
+        gc_rows = jnp.concatenate(parts_gc)
+        mu_rows = jnp.concatenate(parts_mu)
         (pp_s, pa_s, gc_s, mu_s) = pk.resort(frame, pp_rows, pa_rows, gc_rows, mu_rows)
-        sender_fields = dict(pressure_p=pp_s, pressure_a=pa_s,
-                             gravity_center=gc_s, mu=mu_s)
-        recv_fields = dict(pressure_p=pp_s, pressure_a=pa_s,
-                           gravity_center=gc_s, mu=mu_s)
+        fields2 = dict(pressure_p=pp_s, pressure_a=pa_s,
+                       gravity_center=gc_s, mu=mu_s)
 
         force_s = pk.phase2_forces(
-            frame, rv_all, sender_fields, recv_fields, sim.cell_grid,
+            frame, rv_all, fields2, fields2, sim.cell_grid,
             sim.kernels, sim.tables, volume=sim.volume,
             two_dimensional=cfg.two_dimensional,
             cap=cfg.numerics.cell_capacity,
         )
-        # gravity + integration on OWN rows only
         (force_rows,) = pk.unsort(frame, force_s)
+
+        # --- fluid/wall integration on OWN rows ---------------------------
         force = force_rows[:cap]
         seg = Segments(prop)
         mass = sim.tables.density[jnp.clip(prop, 0, 5)] * sim.volume
         fs = seg.fluid | seg.structure
         force = force + jnp.where(fs[:, None],
-                                  mass[:, None] * jnp.asarray(grav, pos.dtype), 0.0)
+                                  mass[:, None] * jnp.asarray(grav, dtype), 0.0)
         accel = force / jnp.where(mass > 0, mass, 1.0)[:, None]
         vel = jnp.where(fs[:, None], vel + accel * dt, vel)
         pos = jnp.where(seg.fluid[:, None], pos + vel * dt, pos)
 
+        # --- structure: replicated integration + elastic substeps ---------
+        if sim.has_structure:
+            s_force = owner_sum(force_rows[struct_base:])
+            s_mass = jnp.where(
+                solid.s_valid,
+                sim.tables.density[jnp.clip(jnp.asarray(s_prop_host), 0, 5)]
+                * sim.volume, 1.0)
+            s_force = s_force + jnp.where(
+                solid.s_valid[:, None],
+                s_mass[:, None] * jnp.asarray(grav, dtype), 0.0)
+            s_vel = jnp.where(
+                solid.s_valid[:, None],
+                s_vel + s_force / s_mass[:, None] * dt, s_vel)
+            for _ in range(cfg.substeps):
+                s_pos, s_vel, _, _ = sl.substep_subset(
+                    s_pos, s_vel, solid, sim.domain_width, cfg.elastic_dt,
+                    double_position_update=cfg.compat.double_substep_position_update,
+                )
+
         overflow = (lover + rover + cover + sover1 + sover2).astype(jnp.int32)
-        return prop, pos, pos0, vel, wall_center, time + dt, overflow.reshape(1)
+        return (prop, pos, pos0, vel, s_pos, s_vel, wall_center, time + dt,
+                overflow.reshape(1))
 
     pspec, rspec = P("dp"), P()
     step_mapped = jax.shard_map(
         step_local, mesh=mesh,
-        in_specs=(pspec, pspec, pspec, pspec, rspec, rspec),
-        out_specs=(pspec, pspec, pspec, pspec, rspec, rspec, pspec),
+        in_specs=(pspec, pspec, pspec, pspec, rspec, rspec, rspec, rspec),
+        out_specs=(pspec, pspec, pspec, pspec, rspec, rspec, rspec, rspec, pspec),
         check_vma=False,
     )
 
     @jax.jit
-    def step(state: ParticleState):
-        prop, pos, pos0, vel, wc, time, overflow = step_mapped(
+    def step(state: HaloState):
+        (prop, pos, pos0, vel, s_pos, s_vel, wc, time, overflow) = step_mapped(
             state.prop, state.pos, state.pos0, state.vel,
-            state.wall_center, state.time,
+            state.s_pos, state.s_vel, state.wall_center, state.time,
         )
-        new_state = ParticleState(prop=prop, pos=pos, pos0=pos0, vel=vel,
-                                  wall_center=wc, time=time)
+        new_state = HaloState(prop=prop, pos=pos, pos0=pos0, vel=vel,
+                              s_pos=s_pos, s_vel=s_vel, wall_center=wc,
+                              time=time)
         return new_state, jnp.max(overflow)
 
     return step, hcfg

@@ -37,7 +37,7 @@ def test_halo_matches_single_chip(ndev):
     for _ in range(8):
         state, overflow = step(state)
         assert int(overflow) == 0
-    out = halo.gather_state(state, grid.n)
+    out = halo.gather_state(sim, state)
     assert out["prop"].shape[0] == grid.n  # no particles lost
 
     a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
@@ -48,13 +48,36 @@ def test_halo_matches_single_chip(ndev):
     np.testing.assert_allclose(a[2], b[2], rtol=1e-9, atol=1e-14)
 
 
-def test_halo_rejects_structure_scenes():
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_halo_coupled_fsi_matches_single_chip(ndev):
+    """Coupled FSI: sharded fluid + replicated structure with owner-psum
+    field sharing must reproduce single-chip trajectories."""
     from cases import mini_fsi
     from particlemethod_fsi_tpu.config import SCENES
 
     grid = mini_fsi()
-    cfg = dam_like_config().replace(scene=SCENES["dam"])
+    cfg = dam_like_config().replace(
+        scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4)
+    )
     sim = Simulation(cfg, grid)
-    mesh = make_mesh(2)
-    with pytest.raises(NotImplementedError):
-        halo.make_halo_step(sim, mesh)
+
+    s_single = sim.state0
+    for _ in range(8):
+        s_single = sim.step(s_single)
+    ref = to_numpy(s_single, grid.n)
+
+    mesh = make_mesh(ndev)
+    step, hcfg = halo.make_halo_step(sim, mesh)
+    state = halo.partition_state(sim, mesh, hcfg)
+    for _ in range(8):
+        state, overflow = step(state)
+        assert int(overflow) == 0
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n
+
+    a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
+                       ref["vel"][: grid.n])
+    b = _sorted_by_pos(out["prop"], out["pos"], out["vel"])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
