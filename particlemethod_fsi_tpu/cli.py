@@ -16,7 +16,6 @@ virial diagnostics at VtkOutputInterval, a timing summary in the reference's
 from __future__ import annotations
 
 import argparse
-import math
 import time as _time
 
 import numpy as np

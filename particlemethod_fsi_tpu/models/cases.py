@@ -13,7 +13,6 @@ reference defines them; scene-specific values are documented per builder.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 

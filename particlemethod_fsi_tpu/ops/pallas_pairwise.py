@@ -34,7 +34,6 @@ ops/edge_math.py; parity-tested against both other backends).
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax

@@ -28,7 +28,7 @@ and bandwidth scale as O(N/n + halo).
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,7 @@ through the scan.
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
+
 from typing import Optional
 
 import jax
