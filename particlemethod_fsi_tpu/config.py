@@ -148,8 +148,8 @@ class NumericsConfig:
     #   "packed" = sorted packed-candidate XLA engine (no per-element gathers)
     #   "gather" = portable [N,K] index-matrix engine (CPU/golden tests)
     backend: str = "packed"
-    pallas_block: int = 64  # receivers per Pallas program
-    pallas_wmax: int = 128  # window rows per cell-row offset
+    pallas_block: int = 128  # receivers per Pallas program
+    pallas_wmax: int = 256  # window rows per cell-row offset
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
     cell_capacity: int = 16  # max particles per cell-list bucket

@@ -77,7 +77,14 @@ def _cell_key(pos, grid: CellGrid, valid):
     return jnp.where(valid, key, grid.num_cells), ci
 
 
-def sort_frame(pos, vel, prop, grid: CellGrid) -> SortedFrame:
+def sort_frame(pos, vel, prop, grid: CellGrid, *,
+               with_cell_start: bool = True) -> SortedFrame:
+    """Sort particles by cell id carrying all fields as sort operands.
+
+    ``with_cell_start=False`` skips the full per-cell offset table (a
+    searchsorted over every cell -- the dominant cost at large cell counts);
+    the Pallas window backend only needs offsets at its block boundaries and
+    computes them itself (``pallas_pairwise.compute_windows``)."""
     n = pos.shape[0]
     valid = prop >= 0
     key, _ = _cell_key(pos, grid, valid)
@@ -89,9 +96,12 @@ def sort_frame(pos, vel, prop, grid: CellGrid) -> SortedFrame:
     )
     spos = jnp.stack([sx, sy, sz], axis=1)
     svel = jnp.stack([svx, svy, svz], axis=1)
-    cell_start = jnp.searchsorted(
-        skey, jnp.arange(grid.num_cells + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    if with_cell_start:
+        cell_start = jnp.searchsorted(
+            skey, jnp.arange(grid.num_cells + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+    else:
+        cell_start = jnp.zeros((1,), dtype=jnp.int32)
     _, coords = _cell_key(spos, grid, sprop >= 0)
     return SortedFrame(
         key=skey, pos=spos, vel=svel, prop=sprop, orig=sorig,

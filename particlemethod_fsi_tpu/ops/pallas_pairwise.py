@@ -50,16 +50,22 @@ from particlemethod_fsi_tpu.ops.neighbors import CellGrid
 from particlemethod_fsi_tpu.ops.packed_engine import SortedFrame
 from particlemethod_fsi_tpu.ops.smoothing import KernelSet
 
-# phase-1 packed row: x y z vx vy vz prop id ir_row[6] pad[2]
-P1_W = 16
-# phase-2 packed row:
-# x y z pp pa gcx gcy gcz mu vx vy vz prop id cofa ir_row[6] ir_col[6] pad[5]
-P2_W = 32
+# Packed rows are padded to one full 128-lane tile: Mosaic requires DMA'd
+# HBM slices to span whole lane tiles, so narrower rows cannot be windowed.
+# phase-1 live lanes: x y z vx vy vz prop id ir_row[6]  (14)
+P1_W = 128
+# phase-2 live lanes:
+# x y z pp pa gcx gcy gcz mu vx vy vz prop id cofa ir_row[6] ir_col[6]  (27)
+P2_W = 128
 
 
 class PallasConfig(NamedTuple):
     block: int = 64  # receivers per kernel program
     wmax: int = 128  # window length (sorted rows per offset)
+    # compile-time physics specialization (results are bit-identical: the
+    # skipped terms are exactly zero / exactly 1.0 multiplies)
+    surface_tension: bool = True  # any CofA != 0
+    uniform_ratio: bool = False  # all InteractionRatio == 1
 
 
 def row_offsets(grid: CellGrid):
@@ -84,19 +90,19 @@ def compute_windows(frame: SortedFrame, grid: CellGrid, cfg: PallasConfig):
     c_lo = key[0::b][:nblocks]  # first receiver's cell per block
     c_hi = key[b - 1 :: b][:nblocks]
     offs, _ = row_offsets(grid)
-    starts = []
-    lens = []
     ncells = grid.num_cells
-    for off in offs:
-        lo = jnp.clip(c_lo + off - 1, 0, ncells)
-        hi = jnp.clip(c_hi + off + 2, 0, ncells)
-        s = frame.cell_start[lo]
-        e = frame.cell_start[hi]
-        starts.append(jnp.clip(s, 0, n))  # packed arrays are padded by WMAX
-        lens.append(e - s)
-    win_start = jnp.stack(starts, axis=1).astype(jnp.int32)
-    max_len = jnp.max(jnp.stack(lens)).astype(jnp.int32)
-    return win_start, max_len
+    # offsets of just the needed boundary cells -- a full per-cell offset
+    # table (searchsorted over every cell) dominates sort_frame at large
+    # cell counts, while 2 * nblocks * n_off boundary queries are trivial
+    lo_cells = jnp.stack(
+        [jnp.clip(c_lo + off - 1, 0, ncells) for off in offs], axis=1)
+    hi_cells = jnp.stack(
+        [jnp.clip(c_hi + off + 2, 0, ncells) for off in offs], axis=1)
+    starts = jnp.searchsorted(frame.key, lo_cells.ravel()).reshape(lo_cells.shape)
+    ends = jnp.searchsorted(frame.key, hi_cells.ravel()).reshape(hi_cells.shape)
+    win_start = jnp.clip(starts, 0, n).astype(jnp.int32)
+    win_len = jnp.maximum(ends - starts, 0).astype(jnp.int32)
+    return win_start, win_len
 
 
 def check_no_wrap_pairs(grid: CellGrid, positions, valid, support: float) -> bool:
@@ -122,12 +128,15 @@ def check_no_wrap_pairs(grid: CellGrid, positions, valid, support: float) -> boo
 # kernel bodies
 # ---------------------------------------------------------------------------
 
-def _edge_mask_and_geometry(rec, win, *, grid: CellGrid, off_yz, dtype):
-    """Shared per-(block, window) edge mask + geometry.
+def _edge_mask_and_geometry(rec, wt, *, grid: CellGrid, off_yz, dtype):
+    """Shared per-(block, window) edge mask + geometry, receiver-major:
+    pair arrays are [B, WMAX]; window fields come from the once-transposed
+    window ``wt`` [W, WMAX] as sublane slices, receiver fields from ``rec``
+    [B, W] as lane-selects (both cheap; per-use lane-column extraction of
+    the window would cost a shuffle each).
 
-    rec: [B, W] receiver rows; win: [WMAX, W] window rows (lane 0:3 = pos,
-    prop at rec_prop_lane, id last-used lane).  Returns dict of [B, WMAX]
-    arrays.  No-wrap precondition: plain coordinate comparisons."""
+    Returns dict of [B, WMAX] arrays.  No-wrap precondition: plain
+    coordinate comparisons."""
     dmin = grid.domain_min
     cw = grid.cell_width
     oy, oz = off_yz
@@ -141,125 +150,140 @@ def _edge_mask_and_geometry(rec, win, *, grid: CellGrid, off_yz, dtype):
     # exact cell-ring membership for this row offset
     cxi = cell_coord(rec[:, 0], 0)[:, None]
     cyi = cell_coord(rec[:, 1], 1)[:, None]
-    cxj = cell_coord(win[:, 0], 0)[None, :]
-    cyj = cell_coord(win[:, 1], 1)[None, :]
+    cxj = cell_coord(wt[0], 0)[None, :]
+    cyj = cell_coord(wt[1], 1)[None, :]
     ring = (jnp.abs(cxj - cxi) <= 1.0) & (cyj - cyi == float(oy))
     if grid.cell_count[2] > 1:
         czi = cell_coord(rec[:, 2], 2)[:, None]
-        czj = cell_coord(win[:, 2], 2)[None, :]
+        czj = cell_coord(wt[2], 2)[None, :]
         ring = ring & (czj - czi == float(oz))
 
-    dxx = win[:, 0][None, :] - rec[:, 0][:, None]
-    dyy = win[:, 1][None, :] - rec[:, 1][:, None]
-    dzz = win[:, 2][None, :] - rec[:, 2][:, None]
+    dxx = wt[0][None, :] - rec[:, 0][:, None]
+    dyy = wt[1][None, :] - rec[:, 1][:, None]
+    dzz = wt[2][None, :] - rec[:, 2][:, None]
     rij2 = dxx * dxx + dyy * dyy + dzz * dzz
     return dict(xij=(dxx, dyy, dzz), rij2=rij2, ring=ring)
 
 
-def _phase1_kernel(win_start_ref, rec_ref, packed_ref, out_ref, win_scratch,
-                   sems, *, grid: CellGrid, ks: KernelSet, cfg: PallasConfig,
-                   offs_yz):
-    b = pl.program_id(0)
+def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
+                   win_scratch, sems, *, grid: CellGrid, ks: KernelSet,
+                   cfg: PallasConfig, offs_yz):
+    """Phase-1 sweep with CHUNKED windows: each (offset) window is walked in
+    wmax-row chunks with double-buffered DMA, so arbitrarily long windows
+    (e.g. blocks spanning a fluid->void transition whose cell range covers
+    the rest of a row) are handled exactly -- the ring/radius masks make the
+    beyond-window rows in partially-read chunks contribute zero."""
     n_off = len(offs_yz)
-    for o in range(n_off):
-        pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
-            win_scratch.at[o],
-            sems.at[o],
-        ).start()
+    b = pl.program_id(0)
 
     rec = rec_ref[:]  # [B, P1_W]
     dtype = rec.dtype
     bsz = rec.shape[0]
-    acc_da = jnp.zeros((bsz, cfg.wmax), dtype)
-    acc_wp = jnp.zeros((bsz, cfg.wmax), dtype)
-    acc_div = jnp.zeros((bsz, cfg.wmax), dtype)
-    acc_gx = jnp.zeros((bsz, cfg.wmax), dtype)
-    acc_gy = jnp.zeros((bsz, cfg.wmax), dtype)
-    acc_gz = jnp.zeros((bsz, cfg.wmax), dtype)
-    acc_cnt = jnp.zeros((bsz, cfg.wmax), dtype)
-
     id_i = rec[:, 7][:, None]
 
-    for o in range(len(offs_yz)):
-        pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
-            win_scratch.at[o],
-            sems.at[o],
-        ).wait()
-        win = win_scratch[o]  # [WMAX, P1_W]
-        g = _edge_mask_and_geometry(rec, win, grid=grid, off_yz=offs_yz[o],
-                                    dtype=dtype)
-        id_j = win[:, 7][None, :]
-        valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
-        support2 = grid.support * grid.support
-        valid = valid & (g["rij2"] <= support2)
-        rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+    def chunk_copy(o, k, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+            win_scratch.at[o, slot],
+            sems.at[o, slot],
+        )
 
-        # interaction ratio: receiver's table row (lanes 8..13) dotted with
-        # the sender prop one-hot
-        prop_j = win[:, 6][None, :]
-        ratio_ij = jnp.zeros_like(rij)
-        for t in range(TYPE_COUNT):
-            ratio_ij = ratio_ij + jnp.where(
-                prop_j == float(t), rec[:, 8 + t][:, None], 0.0
-            )
+    for o in range(n_off):
+        chunk_copy(o, 0, 0).start()
 
-        # densityA (wa kernel, >= guard; src/main.cpp:2141-2171)
-        m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
-        q_a = rij / ks.radius_a
-        wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * (1.0 - q_a) ** 2
-        acc_da = acc_da + jnp.where(m_a, ratio_ij * wa, 0.0)
+    accs0 = tuple(jnp.zeros((bsz,), dtype) for _ in range(7))
+    accs = accs0
+    for o in range(n_off):
+        # at least one chunk: the prologue already started chunk 0, and an
+        # unconsumed DMA completion would leak the shared semaphore into the
+        # next grid program (ring/poison masks make an empty chunk harmless)
+        nch = jnp.maximum(
+            jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                        jnp.int32(cfg.wmax)),
+            jnp.int32(1),
+        )
 
-        # gravity center (wg kernel; :2174-2210)
-        m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
-        q_g = rij / ks.radius_g
-        wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * (1.0 - q_g) ** 2
-        w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g, 0.0)
-        acc_gx = acc_gx + g["xij"][0] * w_gc
-        acc_gy = acc_gy + g["xij"][1] * w_gc
-        acc_gz = acc_gz + g["xij"][2] * w_gc
+        def body(k, accs, o=o):
+            slot = jax.lax.rem(k, jnp.int32(2))
+            chunk_copy(o, k, slot).wait()
 
-        # wp sum + divergence (:2314-2379)
-        m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
-        q_p = rij / ks.radius_p
-        norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-        wp = norm_p * (1.0 - q_p) ** 2
-        acc_wp = acc_wp + jnp.where(m_p, wp, 0.0)
-        dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
-        inv_r = 1.0 / rij
-        ux = win[:, 3][None, :] - rec[:, 3][:, None]
-        uy = win[:, 4][None, :] - rec[:, 4][:, None]
-        uz = win[:, 5][None, :] - rec[:, 5][:, None]
-        udote = (ux * g["xij"][0] + uy * g["xij"][1] + uz * g["xij"][2]) * inv_r
-        acc_div = acc_div - jnp.where(m_p, udote * dwp, 0.0)
+            @pl.when(k + 1 < nch)
+            def _():
+                chunk_copy(o, k + 1, 1 - slot).start()
 
-        acc_cnt = acc_cnt + jnp.where(valid, 1.0, 0.0)
+            wt = win_scratch[o, slot].T  # [P1_W, WMAX]
+            g = _edge_mask_and_geometry(rec, wt, grid=grid,
+                                        off_yz=offs_yz[o], dtype=dtype)
+            id_j = wt[7][None, :]
+            valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+            valid = valid & (g["rij2"] <= grid.support * grid.support)
+            rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+            acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
 
+            if cfg.surface_tension:
+                if cfg.uniform_ratio:
+                    ratio_ij = 1.0
+                else:
+                    prop_j = wt[6][None, :]
+                    ratio_ij = jnp.zeros_like(rij)
+                    for t in range(TYPE_COUNT):
+                        ratio_ij = ratio_ij + jnp.where(
+                            prop_j == float(t), rec[:, 8 + t][:, None], 0.0
+                        )
+                # densityA (wa kernel, >= guard; src/main.cpp:2141-2171)
+                m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
+                q_a = rij / ks.radius_a
+                wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                    * q_a * (1.0 - q_a) ** 2
+                acc_da = acc_da + jnp.sum(jnp.where(m_a, ratio_ij * wa, 0.0),
+                                          axis=1)
+                # gravity center (wg kernel; :2174-2210)
+                m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
+                q_g = rij / ks.radius_g
+                wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * (1.0 - q_g) ** 2
+                w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g, 0.0)
+                acc_gx = acc_gx + jnp.sum(g["xij"][0] * w_gc, axis=1)
+                acc_gy = acc_gy + jnp.sum(g["xij"][1] * w_gc, axis=1)
+                acc_gz = acc_gz + jnp.sum(g["xij"][2] * w_gc, axis=1)
+
+            # wp sum + divergence (:2314-2379)
+            m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
+            q_p = rij / ks.radius_p
+            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+            wp = norm_p * (1.0 - q_p) ** 2
+            acc_wp = acc_wp + jnp.sum(jnp.where(m_p, wp, 0.0), axis=1)
+            dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+            inv_r = 1.0 / rij
+            ux = wt[3][None, :] - rec[:, 3][:, None]
+            uy = wt[4][None, :] - rec[:, 4][:, None]
+            uz = wt[5][None, :] - rec[:, 5][:, None]
+            udote = (ux * g["xij"][0] + uy * g["xij"][1]
+                     + uz * g["xij"][2]) * inv_r
+            acc_div = acc_div - jnp.sum(jnp.where(m_p, udote * dwp, 0.0), axis=1)
+
+            acc_cnt = acc_cnt + jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)
+            return (acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt)
+
+        accs = jax.lax.fori_loop(0, nch, body, accs)
+
+    acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
     out_ref[:] = jnp.stack(
-        [jnp.sum(acc_da, axis=1), jnp.sum(acc_gx, axis=1),
-         jnp.sum(acc_gy, axis=1), jnp.sum(acc_gz, axis=1),
-         jnp.sum(acc_wp, axis=1), jnp.sum(acc_div, axis=1),
-         jnp.sum(acc_cnt, axis=1), jnp.zeros((bsz,), dtype)], axis=1)
+        [acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt,
+         jnp.zeros((bsz,), dtype)], axis=1)
 
 
-def _phase2_kernel(win_start_ref, rec_ref, packed_ref, out_ref, win_scratch,
-                   sems, *, grid: CellGrid, ks: KernelSet, cfg: PallasConfig,
-                   offs_yz, volume: float, two_dimensional: bool):
+def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
+                   win_scratch, sems, *, grid: CellGrid, ks: KernelSet,
+                   cfg: PallasConfig, offs_yz, volume: float,
+                   two_dimensional: bool):
+    """Phase-2 force sweep with chunked double-buffered windows (see
+    _phase1_kernel)."""
+    n_off = len(offs_yz)
     b = pl.program_id(0)
-    for o in range(len(offs_yz)):
-        pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
-            win_scratch.at[o],
-            sems.at[o],
-        ).start()
 
     rec = rec_ref[:]  # [B, P2_W]
     dtype = rec.dtype
     bsz = rec.shape[0]
-    fx = jnp.zeros((bsz, cfg.wmax), dtype)
-    fy = jnp.zeros((bsz, cfg.wmax), dtype)
-    fz = jnp.zeros((bsz, cfg.wmax), dtype)
 
     id_i = rec[:, 13][:, None]
     prop_i = rec[:, 12][:, None]
@@ -273,134 +297,178 @@ def _phase2_kernel(win_start_ref, rec_ref, packed_ref, out_ref, win_scratch,
     c_v = 8.0 if two_dimensional else 10.0
     scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
 
-    for o in range(len(offs_yz)):
-        pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[b, o], cfg.wmax), :],
-            win_scratch.at[o],
-            sems.at[o],
-        ).wait()
-        win = win_scratch[o]
-        g = _edge_mask_and_geometry(rec, win, grid=grid, off_yz=offs_yz[o],
-                                    dtype=dtype)
-        id_j = win[:, 13][None, :]
-        valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
-        valid = valid & (g["rij2"] <= grid.support * grid.support)
-        rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
-        inv_r = 1.0 / rij
-        ex = g["xij"][0] * inv_r
-        ey = g["xij"][1] * inv_r
-        ez = g["xij"][2] * inv_r
-
-        prop_j = win[:, 12][None, :]
-        ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
-        ratio_ij = jnp.zeros_like(rij)
-        ratio_ji = jnp.zeros_like(rij)
-        for t in range(TYPE_COUNT):
-            sel = prop_j == float(t)
-            ratio_ij = ratio_ij + jnp.where(sel, rec[:, 15 + t][:, None], 0.0)
-            ratio_ji = ratio_ji + jnp.where(sel, rec[:, 21 + t][:, None], 0.0)
-
-        pp_j = win[:, 3][None, :]
-        pa_j = win[:, 4][None, :]
-        mu_j = win[:, 8][None, :]
-
-        # pressureP + FSI interface load (:2394-2424, :2439-2472)
-        m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
-        norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-        q_p = rij / ks.radius_p
-        dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
-        coeff_pp = (pp_i + pp_j) * dwp * volume
-        radial = jnp.where(m_p & ~rs, coeff_pp, 0.0)
-        radial = radial + jnp.where(m_p & rs & ~ss, coeff_pp, 0.0)
-
-        # pressureA (:2225-2258)
-        m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
-        q_a = rij / ks.radius_a
-        dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-            * (1.0 - q_a) * (1.0 - 3.0 * q_a) / ks.radius_a
-        coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
-        radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
-
-        # viscosity (:2478-2522)
-        m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
-        ux = win[:, 9][None, :] - rec[:, 9][:, None]
-        uy = win[:, 10][None, :] - rec[:, 10][:, None]
-        uz = win[:, 11][None, :] - rec[:, 11][:, None]
-        udote = ux * ex + uy * ey + uz * ez
-        mu_den = mu_i + mu_j
-        mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
-                         / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
-        q_v = rij / ks.radius_v
-        dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
-            * (-2.0 / ks.radius_v) * (1.0 - q_v)
-        coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
-        radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
-
-        fx = fx + radial * ex
-        fy = fy + radial * ey
-        fz = fz + radial * ez
-
-        # diffuse interface, two terms (:2261-2312); a_j uses CofA[prop_i]
-        m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
-        q_g = rij / ks.radius_g
-        norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
-        wgv = norm_g * (1.0 - q_g) ** 2
-        dwg = norm_g * (-2.0 / ks.radius_g) * (1.0 - q_g)
-        wij = ratio_ij * wgv
-        wji = ratio_ji * wgv
-        dwij = ratio_ij * dwg
-        dwji = ratio_ji * dwg
-        gcx_j = win[:, 5][None, :]
-        gcy_j = win[:, 6][None, :]
-        gcz_j = win[:, 7][None, :]
-        mdi = m_g & ~rs
-        t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
-        t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
-        t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
-        gr = a_i * (
-            (gcx_j * dwji - gci[0] * dwij) * g["xij"][0]
-            + (gcy_j * dwji - gci[1] * dwij) * g["xij"][1]
-            + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
+    def chunk_copy(o, k, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+            win_scratch.at[o, slot],
+            sems.at[o, slot],
         )
-        fx = fx - jnp.where(mdi, t1x + gr * ex * scale_di, 0.0)
-        fy = fy - jnp.where(mdi, t1y + gr * ey * scale_di, 0.0)
-        fz = fz - jnp.where(mdi, t1z + gr * ez * scale_di, 0.0)
 
+    for o in range(n_off):
+        chunk_copy(o, 0, 0).start()
+
+    accs = (jnp.zeros((bsz,), dtype),) * 3
+    for o in range(n_off):
+        # at least one chunk: the prologue already started chunk 0, and an
+        # unconsumed DMA completion would leak the shared semaphore into the
+        # next grid program (ring/poison masks make an empty chunk harmless)
+        nch = jnp.maximum(
+            jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                        jnp.int32(cfg.wmax)),
+            jnp.int32(1),
+        )
+
+        def body(k, accs, o=o):
+            slot = jax.lax.rem(k, jnp.int32(2))
+            chunk_copy(o, k, slot).wait()
+
+            @pl.when(k + 1 < nch)
+            def _():
+                chunk_copy(o, k + 1, 1 - slot).start()
+
+            fx, fy, fz = accs
+            wt = win_scratch[o, slot].T  # [P2_W, WMAX]
+            g = _edge_mask_and_geometry(rec, wt, grid=grid,
+                                        off_yz=offs_yz[o], dtype=dtype)
+            id_j = wt[13][None, :]
+            valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+            valid = valid & (g["rij2"] <= grid.support * grid.support)
+            rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+            inv_r = 1.0 / rij
+            ex = g["xij"][0] * inv_r
+            ey = g["xij"][1] * inv_r
+            ez = g["xij"][2] * inv_r
+
+            prop_j = wt[12][None, :]
+            ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
+            if cfg.uniform_ratio:
+                ratio_ij = ratio_ji = 1.0
+            else:
+                ratio_ij = jnp.zeros_like(rij)
+                ratio_ji = jnp.zeros_like(rij)
+                for t in range(TYPE_COUNT):
+                    sel = prop_j == float(t)
+                    ratio_ij = ratio_ij + jnp.where(sel, rec[:, 15 + t][:, None], 0.0)
+                    ratio_ji = ratio_ji + jnp.where(sel, rec[:, 21 + t][:, None], 0.0)
+
+            pp_j = wt[3][None, :]
+            pa_j = wt[4][None, :]
+            mu_j = wt[8][None, :]
+
+            # pressureP + FSI interface load (:2394-2424, :2439-2472)
+            m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
+            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+            q_p = rij / ks.radius_p
+            dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+            coeff_pp = (pp_i + pp_j) * dwp * volume
+            radial = jnp.where(m_p & ~rs, coeff_pp, 0.0)
+            radial = radial + jnp.where(m_p & rs & ~ss, coeff_pp, 0.0)
+
+            # pressureA (:2225-2258); exactly zero without surface tension
+            if cfg.surface_tension:
+                m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+                q_a = rij / ks.radius_a
+                dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                    * (1.0 - q_a) * (1.0 - 3.0 * q_a) / ks.radius_a
+                coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
+                radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
+
+            # viscosity (:2478-2522)
+            m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+            ux = wt[9][None, :] - rec[:, 9][:, None]
+            uy = wt[10][None, :] - rec[:, 10][:, None]
+            uz = wt[11][None, :] - rec[:, 11][:, None]
+            udote = ux * ex + uy * ey + uz * ez
+            mu_den = mu_i + mu_j
+            mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
+                             / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
+            q_v = rij / ks.radius_v
+            dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+                * (-2.0 / ks.radius_v) * (1.0 - q_v)
+            coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
+            radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
+
+            fx = fx + jnp.sum(radial * ex, axis=1)
+            fy = fy + jnp.sum(radial * ey, axis=1)
+            fz = fz + jnp.sum(radial * ez, axis=1)
+
+            # diffuse interface, two terms (:2261-2312); a_j uses CofA[prop_i];
+            # exactly zero without surface tension (a_i = CofA = 0)
+            if cfg.surface_tension:
+                m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+                q_g = rij / ks.radius_g
+                norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+                wgv = norm_g * (1.0 - q_g) ** 2
+                dwg = norm_g * (-2.0 / ks.radius_g) * (1.0 - q_g)
+                wij = ratio_ij * wgv
+                wji = ratio_ji * wgv
+                dwij = ratio_ij * dwg
+                dwji = ratio_ji * dwg
+                gcx_j = wt[5][None, :]
+                gcy_j = wt[6][None, :]
+                gcz_j = wt[7][None, :]
+                mdi = m_g & ~rs
+                t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
+                t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
+                t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
+                gr = a_i * (
+                    (gcx_j * dwji - gci[0] * dwij) * g["xij"][0]
+                    + (gcy_j * dwji - gci[1] * dwij) * g["xij"][1]
+                    + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
+                )
+                fx = fx - jnp.sum(jnp.where(mdi, t1x + gr * ex * scale_di, 0.0),
+                                  axis=1)
+                fy = fy - jnp.sum(jnp.where(mdi, t1y + gr * ey * scale_di, 0.0),
+                                  axis=1)
+                fz = fz - jnp.sum(jnp.where(mdi, t1z + gr * ez * scale_di, 0.0),
+                                  axis=1)
+            return (fx, fy, fz)
+
+        accs = jax.lax.fori_loop(0, nch, body, accs)
+
+    fx, fy, fz = accs
     zeros = jnp.zeros((bsz,), dtype)
     out_ref[:] = jnp.stack(
-        [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1),
-         zeros, zeros, zeros, zeros, zeros], axis=1)
+        [fx, fy, fz, zeros, zeros, zeros, zeros, zeros], axis=1)
 
 
 # ---------------------------------------------------------------------------
 # drivers
 # ---------------------------------------------------------------------------
 
-def _pallas_sweep(kernel_fn, packed, win_start, n_off, cfg: PallasConfig,
-                  w: int, *, interpret: bool):
+def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
+                  cfg: PallasConfig, w: int, *, interpret: bool):
     """Launch a phase kernel over all receiver blocks."""
     n = packed.shape[0] - cfg.wmax  # padded tail
     nblocks = n // cfg.block
     dtype = packed.dtype
+    # window starts ride in per-block SMEM rows (scalar-prefetching the
+    # whole [nblocks, n_off] table overflows the 1 MB SMEM at large grids)
+    # scalar-prefetch window start/length tables TRANSPOSED [n_off, nblocks]:
+    # the prefetcher pads each row to 512 B, so row-per-block layouts blow
+    # the 1 MB SMEM at large grids while n_off rows stay tiny
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((cfg.block, w), lambda b, *_: (b, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((cfg.block, 8), lambda b, *_: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_off, cfg.wmax, w), dtype),
-            pltpu.SemaphoreType.DMA((n_off,)),
+            pltpu.VMEM((n_off, 2, cfg.wmax, w), dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((n_off, 2)),
         ],
     )
     return pl.pallas_call(
         kernel_fn,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 8), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(win_start, packed[:n], packed)
+    )(win_start.T, win_len.T, packed[:n], packed)
 
 
 def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
@@ -422,13 +490,13 @@ def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
     cfg_w = cfg.wmax
     packed1 = jnp.concatenate([packed1, jnp.tile(pad, (cfg_w, 1))], axis=0)
 
-    win_start, max_len = compute_windows(frame, grid, cfg)
+    win_start, win_len = compute_windows(frame, grid, cfg)
     offs, offs_yz = row_offsets(grid)
     kern = functools.partial(
         _phase1_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz
     )
-    out = _pallas_sweep(kern, packed1, win_start, len(offs), cfg, P1_W,
-                        interpret=interpret)
+    out = _pallas_sweep(kern, packed1, win_start, win_len, len(offs), cfg,
+                        P1_W, interpret=interpret)
 
     da = out[:, 0]
     gc = out[:, 1:4]
@@ -449,8 +517,8 @@ def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
         density_a=da, gravity_center=gc, vol_strain=vs, divergence=dvg,
         pressure_p=pp, pressure_a=pa, mu=mu,
         neighbor_count=out[:, 6].astype(jnp.int32),
-        cell_overflow=jnp.max(frame.cell_start[1:] - frame.cell_start[:-1]),
-        window_overflow=max_len,
+        cell_overflow=jnp.max(win_len),  # window-length proxy
+        window_overflow=jnp.max(win_len),
     )
 
 
@@ -476,12 +544,12 @@ def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
     pad = jnp.zeros((1, P2_W), dtype).at[0, 13].set(-1.0)
     packed2 = jnp.concatenate([packed2, jnp.tile(pad, (cfg.wmax, 1))], axis=0)
 
-    win_start, _ = compute_windows(frame, grid, cfg)
+    win_start, win_len = compute_windows(frame, grid, cfg)
     offs, offs_yz = row_offsets(grid)
     kern = functools.partial(
         _phase2_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz,
         volume=volume, two_dimensional=two_dimensional,
     )
-    out = _pallas_sweep(kern, packed2, win_start, len(offs), cfg, P2_W,
-                        interpret=interpret)
+    out = _pallas_sweep(kern, packed2, win_start, win_len, len(offs), cfg,
+                        P2_W, interpret=interpret)
     return out[:, 0:3]

@@ -113,17 +113,18 @@ def clamp_predicate(x0_axis, scene: SceneConfig):
     return c
 
 
-def inverse_with_identity_fallback(a: jax.Array) -> jax.Array:
+def inverse_with_identity_fallback(a, xp=jnp):
     """Batched explicit 2x2 / cofactor 3x3 inverse with identity fallback on
     det == 0, matching calculateNormalizer (src/main.cpp:2590-2651).  TPUs
-    have no native small-matrix LU; the closed form is also faster."""
+    have no native small-matrix LU; the closed form is also faster.
+    ``xp`` selects the array module (jnp at runtime, np for host setup)."""
     sd = a.shape[-1]
     if sd == 2:
         det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
-        adj = jnp.stack(
+        adj = xp.stack(
             [
-                jnp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
-                jnp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
+                xp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
+                xp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
             ],
             axis=-2,
         )
@@ -138,41 +139,50 @@ def inverse_with_identity_fallback(a: jax.Array) -> jax.Array:
         )
         rows = []
         # adjugate rows as written in the reference (:2631-2641)
-        rows.append(jnp.stack([cof(1, 1, 2, 2), -cof(1, 0, 2, 2), cof(1, 0, 2, 1)], axis=-1))
-        rows.append(jnp.stack([-cof(0, 1, 2, 2), cof(0, 0, 2, 2), -cof(0, 0, 2, 1)], axis=-1))
-        rows.append(jnp.stack([cof(0, 1, 1, 2), -cof(0, 0, 1, 2), cof(0, 0, 1, 1)], axis=-1))
-        adj = jnp.stack(rows, axis=-2)
+        rows.append(xp.stack([cof(1, 1, 2, 2), -cof(1, 0, 2, 2), cof(1, 0, 2, 1)], axis=-1))
+        rows.append(xp.stack([-cof(0, 1, 2, 2), cof(0, 0, 2, 2), -cof(0, 0, 2, 1)], axis=-1))
+        rows.append(xp.stack([cof(0, 1, 1, 2), -cof(0, 0, 1, 2), cof(0, 0, 1, 1)], axis=-1))
+        adj = xp.stack(rows, axis=-2)
     else:
         raise ValueError(f"unsupported spatial dim {sd}")
     ok = det != 0.0
-    safe_det = jnp.where(ok, det, 1.0)
+    safe_det = xp.where(ok, det, 1.0)
     inv = adj / safe_det[..., None, None]
-    eye = jnp.eye(sd, dtype=a.dtype)
-    return jnp.where(ok[..., None, None], inv, eye)
+    eye = xp.eye(sd, dtype=a.dtype)
+    return xp.where(ok[..., None, None], inv, eye)
 
 
 def build_solid_static(
-    pos0: jax.Array,
-    prop: jax.Array,
+    pos0_host,
+    prop_host,
     nbr0: NeighborList,
     ks: KernelSet,
-    tables: TypeTables,
+    cfg_tables,
     scene: SceneConfig,
     domain_width,
     *,
     spatial_dim: int,
+    dtype,
     pad_multiple: int = 128,
 ) -> SolidStatic:
     """Compact the global structure particles + their initial neighbor lists
-    into subset space and precompute every static quantity."""
+    into subset space and precompute every static quantity.
+
+    Runs ENTIRELY host-side in float64 numpy (setup math; each eager device
+    op would cost a remote compile + transfer) and uploads only the final
+    subset-sized arrays.  ``cfg_tables`` is the CaseConfig (host per-type
+    tuples); ``pos0_host``/``prop_host`` are the grid's numpy arrays padded
+    to n_pad."""
     sd = spatial_dim
-    prop_h = np.asarray(prop)
+    prop_h = np.asarray(prop_host)
+    pos0_h = np.asarray(pos0_host, dtype=np.float64)
+    width = np.asarray(domain_width, dtype=np.float64)
     s_mask_h = (prop_h >= 2) & (prop_h < 4)
     s_idx_h = np.nonzero(s_mask_h)[0].astype(np.int32)
     n_s = int(s_idx_h.size)
     s_pad = max(pad_multiple, ((n_s + pad_multiple - 1) // pad_multiple) * pad_multiple)
 
-    # global slot -> subset index map (host)
+    # global slot -> subset index map
     g2s = np.zeros(prop_h.shape[0], dtype=np.int32)
     g2s[s_idx_h] = np.arange(n_s, dtype=np.int32)
 
@@ -184,7 +194,7 @@ def build_solid_static(
     s_valid[:n_s] = True
 
     idx0_h = np.asarray(nbr0.idx)[s_idx_h]  # [n_s, K0] global ids
-    mask0_h = np.asarray(nbr0.mask)[s_idx_h]
+    mask0_h = np.asarray(nbr0.mask)[s_idx_h].copy()
     # only structure-structure edges participate (src/main.cpp:1608)
     mask0_h &= s_mask_h[idx0_h]
     k0 = idx0_h.shape[1]
@@ -193,55 +203,65 @@ def build_solid_static(
     mask0 = np.zeros((s_pad, k0), dtype=bool)
     mask0[:n_s] = mask0_h
 
-    dtype = pos0.dtype
-    s_idx_j = jnp.asarray(s_idx)
-    mask0_j = jnp.asarray(mask0)
-    nbr0_j = jnp.asarray(nbr0_sub)
-    sub_pos0 = pos0[s_idx_j]  # [S, 3]
+    sub_pos0 = np.zeros((s_pad, 3), dtype=np.float64)
+    sub_pos0[:n_s] = pos0_h[s_idx_h]
 
-    xij0_full = min_image(sub_pos0[nbr0_j] - sub_pos0[:, None, :], domain_width)
-    xij0_full = jnp.where(mask0_j[..., None], xij0_full, 0.0)
-    xij0 = xij0_full[..., :sd]
+    dxy = sub_pos0[nbr0_sub] - sub_pos0[:, None, :]
+    dxy -= width * np.floor(dxy / width + 0.5)  # min-image
+    xij0 = np.where(mask0[..., None], dxy, 0.0)[..., :sd]
     # the WLS weight uses only the in-plane components in 2-D
     # (weight(), src/main.cpp:273-287); z is zero here anyway
-    r0 = jnp.sqrt(jnp.sum(xij0 * xij0, axis=-1))
-    wij0 = jnp.where(mask0_j, ks.weight(r0, ks.radius_p), 0.0)
+    r0 = np.sqrt(np.sum(xij0 * xij0, axis=-1))
+    wij0 = np.where(mask0, ks.weight(r0, ks.radius_p), 0.0)
 
     # moment matrix A = sum w x0 (x) x0 and its inverse with identity
     # fallback on det == 0 (calculateNormalizer, src/main.cpp:2564-2651)
-    a = jnp.einsum("nk,nki,nkj->nij", wij0, xij0, xij0)
-    normalizer = inverse_with_identity_fallback(a)
+    a = np.einsum("nk,nki,nkj->nij", wij0, xij0, xij0)
+    normalizer = inverse_with_identity_fallback(a, xp=np)
 
-    sub_prop = jnp.clip(prop[s_idx_j], 0, TYPE_COUNT - 1)
-    rho = tables.density[sub_prop]
-    inv_rho = jnp.where(rho > 0, 1.0 / jnp.where(rho > 0, rho, 1.0), 0.0)
-    lam_full, mu_full = lame_constants(prop, tables)
+    density_t = np.asarray(cfg_tables.density, dtype=np.float64)
+    young_t = np.asarray(cfg_tables.young_modulus, dtype=np.float64)
+    poisson_t = np.asarray(cfg_tables.poisson_ratio, dtype=np.float64)
+    sub_prop = np.where(s_valid, prop_h[np.minimum(s_idx, prop_h.shape[0] - 1)], 0)
+    sub_prop = np.clip(sub_prop, 0, TYPE_COUNT - 1)
+    rho = density_t[sub_prop]
+    inv_rho = np.where((rho > 0) & s_valid, 1.0 / np.where(rho > 0, rho, 1.0), 0.0)
+    # Lame constants (calculateLamesconstant, src/main.cpp:2533-2539)
+    e_mod = young_t[sub_prop]
+    nu = poisson_t[sub_prop]
+    lam = np.where(s_valid, e_mod * nu / ((1.0 + nu) * (1.0 - 2.0 * nu)), 0.0)
+    mu = np.where(s_valid, e_mod / (2.0 * (1.0 + nu)), 0.0)
 
     if scene.has_clamp:
-        clamp = jnp.asarray(s_valid) & clamp_predicate(
-            sub_pos0[:, scene.clamp_axis], scene
-        )
+        x0 = sub_pos0[:, scene.clamp_axis]
+        c = (x0 > scene.clamp_threshold) if scene.clamp_greater else (
+            x0 < scene.clamp_threshold)
+        if scene.clamp2_threshold is not None:
+            c2 = (x0 > scene.clamp2_threshold) if scene.clamp2_greater else (
+                x0 < scene.clamp2_threshold)
+            c = c | c2
+        clamp = s_valid & c
     else:
-        clamp = jnp.zeros(s_pad, dtype=bool)
+        clamp = np.zeros(s_pad, dtype=bool)
 
-    count0_full = jnp.zeros(prop_h.shape[0], dtype=jnp.int32).at[s_idx_j].set(
-        jnp.sum(mask0_j, axis=1).astype(jnp.int32), mode="drop"
-    )
+    count0_full = np.zeros(prop_h.shape[0], dtype=np.int32)
+    count0_full[s_idx_h] = mask0[:n_s].sum(axis=1)
 
+    f = lambda x: jnp.asarray(x, dtype=dtype)
     return SolidStatic(
-        s_idx=s_idx_j,
+        s_idx=jnp.asarray(s_idx),
         s_valid=jnp.asarray(s_valid),
-        nbr0=nbr0_j,
-        mask0=mask0_j,
-        xij0=xij0,
-        wij0=wij0,
-        normalizer=normalizer,
-        sub_pos0=sub_pos0,
-        inv_rho=jnp.where(jnp.asarray(s_valid), inv_rho, 0.0),
-        lam=lam_full[s_idx_j],
-        mu=mu_full[s_idx_j],
-        clamp=clamp,
-        count0_full=count0_full,
+        nbr0=jnp.asarray(nbr0_sub),
+        mask0=jnp.asarray(mask0),
+        xij0=f(xij0),
+        wij0=f(wij0),
+        normalizer=f(normalizer),
+        sub_pos0=f(sub_pos0),
+        inv_rho=f(inv_rho),
+        lam=f(lam),
+        mu=f(mu),
+        clamp=jnp.asarray(clamp),
+        count0_full=jnp.asarray(count0_full),
     )
 
 

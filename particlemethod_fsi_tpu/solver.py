@@ -107,10 +107,13 @@ class Simulation:
         # built host-side over the structure subset only -- setup cost scales
         # with the structure count, not the full particle count.
         nbr0 = self._initial_structure_neighbors(grid)
+        pos0_host = np.zeros((self.n_pad, 3))
+        pos0_host[: self.n] = grid.initial_position
+        prop_host = np.full(self.n_pad, -1, dtype=np.int32)
+        prop_host[: self.n] = grid.prop
         self.solid = sl.build_solid_static(
-            self.state0.pos0, self.state0.prop, nbr0, self.kernels,
-            self.tables, cfg.scene, self.domain_width,
-            spatial_dim=cfg.spatial_dim,
+            pos0_host, prop_host, nbr0, self.kernels, cfg, cfg.scene,
+            self.domain_width, spatial_dim=cfg.spatial_dim, dtype=self.dtype,
         )
 
         # pallas backend feasibility: windows are clipped, not wrapped, so no
@@ -119,7 +122,7 @@ class Simulation:
         self._backend = cfg.numerics.backend
         self._pallas_interpret = jax.default_backend() not in ("tpu",)
         if self._backend == "pallas" and not pw.check_no_wrap_pairs(
-            self.cell_grid, self.state0.pos, np.asarray(self.state0.prop) >= 0,
+            self.cell_grid, grid.position, grid.prop >= 0,
             self.kernels.support_radius,
         ):
             import logging
@@ -194,11 +197,14 @@ class Simulation:
                     )
                 idx[i, : hits.size] = s_idx[hits]
                 mask[i, : hits.size] = True
+        # host numpy throughout: build_solid_static compacts these full-size
+        # arrays to the structure subset before anything touches the device
+        # (uploading [n_pad, K0] here would move 100s of MB over the wire)
         return NeighborList(
-            idx=jnp.asarray(idx),
-            mask=jnp.asarray(mask),
-            count=jnp.asarray(count),
-            cell_overflow=jnp.asarray(0, dtype=jnp.int32),
+            idx=idx,
+            mask=mask,
+            count=count,
+            cell_overflow=np.int32(0),
         )
 
     def apply_initial_velocity_profile(self, state: ParticleState) -> ParticleState:
@@ -277,11 +283,16 @@ class Simulation:
         """Total pairwise + body force, dispatched to the configured backend."""
         backend = self._backend
         if backend in ("packed", "pallas"):
-            frame = pk.sort_frame(pos, vel, prop, self.cell_grid)
+            frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
+                                  with_cell_start=(backend == "packed"))
             if backend == "pallas":
                 pcfg = pw.PallasConfig(
                     block=self.cfg.numerics.pallas_block,
                     wmax=self.cfg.numerics.pallas_wmax,
+                    surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
+                    uniform_ratio=all(
+                        r == 1.0 for row in self.cfg.interaction_ratio for r in row
+                    ),
                 )
                 f1 = pw.phase1_fields_pallas(
                     frame, self.cell_grid, self.kernels, self.tables,
@@ -427,12 +438,22 @@ class Simulation:
             neighbor_count=nbr_count.astype(jnp.int32),
             initial_neighbor_count=self.solid.count0_full,
             cell_overflow=f1["cell_overflow"],
+            window_overflow=self._window_overflow(frame),
             virial_rows=jnp.stack(virial_rows),
             virial_pressure=vp,
             max_speed=jnp.max(
                 jnp.where(seg.valid, jnp.linalg.norm(vel, axis=1), 0.0)
             ),
         )
+
+    def _window_overflow(self, frame):
+        """Max pallas window length (must stay <= pallas_wmax; longer windows
+        silently drop pairs, so the CLI checks this every output)."""
+        if self._backend != "pallas":
+            return jnp.asarray(0, dtype=jnp.int32)
+        pcfg = pw.PallasConfig(block=self.cfg.numerics.pallas_block,
+                               wmax=self.cfg.numerics.pallas_wmax)
+        return jnp.max(pw.compute_windows(frame, self.cell_grid, pcfg)[1])
 
     def diagnostics(self, state: ParticleState) -> dict:
         """Device diagnostics + host-side tensor assembly (full [N,3,3]

@@ -52,6 +52,9 @@ def test_pallas_backend_agrees():
     grid = mini_fsi()
     base = dict(scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
     a = run(grid, dam_like_config(backend="packed").replace(**base), 6)
-    b = run(grid, dam_like_config(backend="pallas").replace(**base), 6)
+    # mini cases need small pallas blocks: a 128-receiver block spans entire
+    # cell rows here and its windows would overflow wmax (dropped pairs)
+    b = run(grid, dam_like_config(backend="pallas", pallas_block=32,
+                                  pallas_wmax=128).replace(**base), 6)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-16)
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-15)

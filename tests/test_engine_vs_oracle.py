@@ -163,7 +163,8 @@ class TestThreeDimensional:
         grid = mini_dam_3d()
         results = {}
         for backend in ("gather", "packed", "pallas"):
-            sim = Simulation(config_3d(backend=backend), grid)
+            sim = Simulation(config_3d(backend=backend, pallas_block=32,
+                                       pallas_wmax=256), grid)
             s = sim.state0
             for _ in range(5):
                 s = sim.step(s)
