@@ -121,6 +121,8 @@ class Simulation:
         # ops/pallas_pairwise.py); fall back to the packed engine otherwise
         self._backend = cfg.numerics.backend
         self._pallas_interpret = jax.default_backend() not in ("tpu",)
+        if self._backend == "auto":
+            self._backend = "pallas" if not self._pallas_interpret else "packed"
         if self._backend == "pallas" and not pw.check_no_wrap_pairs(
             self.cell_grid, grid.position, grid.prop >= 0,
             self.kernels.support_radius,
