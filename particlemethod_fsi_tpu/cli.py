@@ -142,12 +142,9 @@ def run(args) -> int:
             neighbor_count=d["neighbor_count"][:n],
             extra_scalars={"VirialPressureAtParticle": d["virial_pressure"][:n]},
         )
+        # window lengths are handled exactly by the chunked Pallas sweep;
+        # reported only as a perf signal (longer windows = more DMA chunks)
         wmax_used = int(d.get("window_overflow", 0))
-        if wmax_used > cfg.numerics.pallas_wmax and \
-                cfg.numerics.backend == "pallas":
-            log.printf("WARNING: pallas window length %d exceeds wmax %d "
-                       "(pairs dropped); raise NumericsConfig.pallas_wmax\n",
-                       wmax_used, cfg.numerics.pallas_wmax)
         log.metric(step=i_step, time=time,
                    max_speed=float(d["max_speed"]),
                    neighbor_max=int(d["neighbor_count"].max()),

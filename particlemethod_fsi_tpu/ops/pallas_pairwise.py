@@ -437,7 +437,8 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
 # ---------------------------------------------------------------------------
 
 def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
-                  cfg: PallasConfig, w: int, *, interpret: bool):
+                  cfg: PallasConfig, w: int, *, interpret: bool,
+                  out_w: int = 8):
     """Launch a phase kernel over all receiver blocks."""
     n = packed.shape[0] - cfg.wmax  # padded tail
     nblocks = n // cfg.block
@@ -454,7 +455,7 @@ def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
             pl.BlockSpec((cfg.block, w), lambda b, *_: (b, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((cfg.block, 8), lambda b, *_: (b, 0)),
+        out_specs=pl.BlockSpec((cfg.block, out_w), lambda b, *_: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_off, 2, cfg.wmax, w), dtype),  # double-buffered
             pltpu.SemaphoreType.DMA((n_off, 2)),
@@ -463,7 +464,7 @@ def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
     return pl.pallas_call(
         kernel_fn,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 8), dtype),
+        out_shape=jax.ShapeDtypeStruct((n, out_w), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -480,7 +481,10 @@ def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
     prop_i = jnp.clip(frame.prop, 0, TYPE_COUNT - 1)
     ir_row = tables.interaction_ratio[prop_i]  # [N, 6]
     propf = frame.prop.astype(dtype)
-    iotaf = jnp.arange(n, dtype=dtype)
+    # poison the id lane of invalid (pad) rows: their sort key is the
+    # sentinel cell, but the kernel's ring mask recomputes cells from
+    # POSITION, so pads parked at the origin would otherwise pass it
+    iotaf = jnp.where(frame.prop >= 0, jnp.arange(n, dtype=dtype), -1.0)
     packed1 = jnp.concatenate(
         [frame.pos, frame.vel, propf[:, None], iotaf[:, None], ir_row,
          jnp.zeros((n, P1_W - 14), dtype)], axis=1,
@@ -522,11 +526,8 @@ def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
     )
 
 
-def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
-                         ks: KernelSet, tables, *, volume: float,
-                         two_dimensional: bool, cfg: PallasConfig,
-                         interpret: bool = False):
-    """Pallas phase 2 (forces) over the full frame; [N, 3] in sorted order."""
+def _pack_phase2(frame: SortedFrame, fields: dict, tables, cfg: PallasConfig):
+    """Phase-2/virial packed rows (layout in P2_W comment) + poison tail."""
     n = frame.pos.shape[0]
     dtype = frame.pos.dtype
     prop_i = jnp.clip(frame.prop, 0, TYPE_COUNT - 1)
@@ -534,7 +535,8 @@ def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
     ir_col = tables.interaction_ratio.T[prop_i]
     cof_a_i = tables.cof_a[prop_i]
     propf = frame.prop.astype(dtype)
-    iotaf = jnp.arange(n, dtype=dtype)
+    # poison pad-row ids (see phase-1 packing comment)
+    iotaf = jnp.where(frame.prop >= 0, jnp.arange(n, dtype=dtype), -1.0)
     packed2 = jnp.concatenate(
         [frame.pos, fields["pressure_p"][:, None], fields["pressure_a"][:, None],
          fields["gravity_center"], fields["mu"][:, None], frame.vel,
@@ -542,8 +544,15 @@ def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
          jnp.zeros((n, P2_W - 27), dtype)], axis=1,
     )
     pad = jnp.zeros((1, P2_W), dtype).at[0, 13].set(-1.0)
-    packed2 = jnp.concatenate([packed2, jnp.tile(pad, (cfg.wmax, 1))], axis=0)
+    return jnp.concatenate([packed2, jnp.tile(pad, (cfg.wmax, 1))], axis=0)
 
+
+def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
+                         ks: KernelSet, tables, *, volume: float,
+                         two_dimensional: bool, cfg: PallasConfig,
+                         interpret: bool = False):
+    """Pallas phase 2 (forces) over the full frame; [N, 3] in sorted order."""
+    packed2 = _pack_phase2(frame, fields, tables, cfg)
     win_start, win_len = compute_windows(frame, grid, cfg)
     offs, offs_yz = row_offsets(grid)
     kern = functools.partial(
@@ -553,3 +562,163 @@ def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
     out = _pallas_sweep(kern, packed2, win_start, win_len, len(offs), cfg,
                         P2_W, interpret=interpret)
     return out[:, 0:3]
+
+
+def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
+                   win_scratch, sems, *, grid: CellGrid, ks: KernelSet,
+                   cfg: PallasConfig, offs_yz, volume: float,
+                   two_dimensional: bool):
+    """Virial stress sweep (calculateVirialStressAtParticle,
+    src/main.cpp:3077-3318): re-derives the pairwise force families weighted
+    by the RECEIVER's pressure only (P_i, not Pi+Pj; viscosity half-weighted)
+    and accumulates sum_j f_a * xij_b per receiver.  Same packed-row layout
+    as phase 2; 9 accumulators -> out lanes [0:9] (times 1/V applied by the
+    driver).  Mirrors packed_engine.packed_virial exactly."""
+    n_off = len(offs_yz)
+    b = pl.program_id(0)
+
+    rec = rec_ref[:]  # [B, P2_W]
+    dtype = rec.dtype
+    bsz = rec.shape[0]
+
+    id_i = rec[:, 13][:, None]
+    pp_i = rec[:, 3][:, None]
+    pa_i = rec[:, 4][:, None]
+    gci = (rec[:, 5][:, None], rec[:, 6][:, None], rec[:, 7][:, None])
+    mu_i = rec[:, 8][:, None]
+    a_i = rec[:, 14][:, None] * (ks.cof_k * ks.cof_k)
+
+    c_v = 8.0 if two_dimensional else 10.0
+    scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+
+    def chunk_copy(o, k, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+            win_scratch.at[o, slot],
+            sems.at[o, slot],
+        )
+
+    for o in range(n_off):
+        chunk_copy(o, 0, 0).start()
+
+    accs = tuple(jnp.zeros((bsz,), dtype) for _ in range(9))
+    for o in range(n_off):
+        # at least one chunk (see _phase1_kernel: semaphore balance)
+        nch = jnp.maximum(
+            jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                        jnp.int32(cfg.wmax)),
+            jnp.int32(1),
+        )
+
+        def body(k, accs, o=o):
+            slot = jax.lax.rem(k, jnp.int32(2))
+            chunk_copy(o, k, slot).wait()
+
+            @pl.when(k + 1 < nch)
+            def _():
+                chunk_copy(o, k + 1, 1 - slot).start()
+
+            wt = win_scratch[o, slot].T  # [P2_W, WMAX]
+            g = _edge_mask_and_geometry(rec, wt, grid=grid,
+                                        off_yz=offs_yz[o], dtype=dtype)
+            id_j = wt[13][None, :]
+            valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+            valid = valid & (g["rij2"] <= grid.support * grid.support)
+            rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+            inv_r = 1.0 / rij
+            eij = (g["xij"][0] * inv_r, g["xij"][1] * inv_r,
+                   g["xij"][2] * inv_r)
+
+            if cfg.uniform_ratio:
+                ratio_ij = 1.0
+            else:
+                prop_j = wt[12][None, :]
+                ratio_ij = jnp.zeros_like(rij)
+                for t in range(TYPE_COUNT):
+                    ratio_ij = ratio_ij + jnp.where(
+                        prop_j == float(t), rec[:, 15 + t][:, None], 0.0)
+
+            # pressureP family: receiver pressure only (:3106-3140)
+            m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
+            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+            q_p = rij / ks.radius_p
+            dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+            coeff = jnp.where(m_p, pp_i * dwp * volume, 0.0)
+
+            if cfg.surface_tension:
+                # pressureA family (:3143-3180)
+                m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+                q_a = rij / ks.radius_a
+                dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                    * (1.0 - q_a) * (1.0 - 3.0 * q_a) / ks.radius_a
+                coeff = coeff + jnp.where(
+                    m_a, pa_i * ratio_ij * dwa * volume, 0.0)
+
+            # viscosity, half-weighted (:3221)
+            m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+            ux = wt[9][None, :] - rec[:, 9][:, None]
+            uy = wt[10][None, :] - rec[:, 10][:, None]
+            uz = wt[11][None, :] - rec[:, 11][:, None]
+            udote = ux * eij[0] + uy * eij[1] + uz * eij[2]
+            mu_j = wt[8][None, :]
+            mu_den = mu_i + mu_j
+            mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
+                             / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
+            q_v = rij / ks.radius_v
+            dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+                * (-2.0 / ks.radius_v) * (1.0 - q_v)
+            visc = c_v * mu_h * udote * (-dwv) * inv_r * volume
+            coeff = coeff + 0.5 * jnp.where(m_v, visc, 0.0)
+
+            # diffuse interface: radial 2nd term + along-gc_i 1st term
+            # (:3234-3301); exactly zero without surface tension
+            if cfg.surface_tension:
+                m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+                q_g = rij / ks.radius_g
+                norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+                wgv = norm_g * (1.0 - q_g) ** 2
+                dwg = norm_g * (-2.0 / ks.radius_g) * (1.0 - q_g)
+                gr = -(gci[0] * g["xij"][0] + gci[1] * g["xij"][1]
+                       + gci[2] * g["xij"][2])
+                coeff = coeff + jnp.where(
+                    m_g, -a_i * gr * ratio_ij * dwg * scale_di, 0.0)
+                w_g1 = jnp.where(m_g, a_i * ratio_ij * wgv * scale_di, 0.0)
+            else:
+                w_g1 = None
+
+            new = []
+            for a in range(3):
+                f_a = coeff * eij[a]
+                if w_g1 is not None:
+                    f_a = f_a + w_g1 * gci[a]
+                for bb in range(3):
+                    new.append(accs[3 * a + bb]
+                               + jnp.sum(f_a * g["xij"][bb], axis=1))
+            return tuple(new)
+
+        accs = jax.lax.fori_loop(0, nch, body, accs)
+
+    out_ref[:] = jnp.stack(
+        list(accs) + [jnp.zeros((bsz,), dtype)] * 7, axis=1)
+
+
+def virial_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
+                  ks: KernelSet, tables, *, volume: float,
+                  two_dimensional: bool, cfg: PallasConfig,
+                  interpret: bool = False):
+    """Pallas virial stress; same contract as packed_engine.packed_virial:
+    (virial_stress [9, N] row-major components, virial_pressure [N]) in
+    SORTED order."""
+    packed2 = _pack_phase2(frame, fields, tables, cfg)
+    win_start, win_len = compute_windows(frame, grid, cfg)
+    offs, offs_yz = row_offsets(grid)
+    kern = functools.partial(
+        _virial_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz,
+        volume=volume, two_dimensional=two_dimensional,
+    )
+    out = _pallas_sweep(kern, packed2, win_start, win_len, len(offs), cfg,
+                        P2_W, out_w=16, interpret=interpret)
+    stress = out[:, :9].T / volume  # [9, N]
+    d = 2.0 if two_dimensional else 3.0
+    tr = stress[0] + stress[4] + (0.0 if two_dimensional else stress[8])
+    return stress, -tr / d

@@ -392,27 +392,60 @@ class Simulation:
         [9, N] -- and assembled host-side by :meth:`diagnostics`."""
         cfg = self.cfg
         prop, pos, vel = state.prop, state.pos, state.vel
-        frame = pk.sort_frame(pos, vel, prop, self.cell_grid)
-        rv = pk.receivers_of(frame)
-        f1 = pk.phase1_fields(frame, rv, self.cell_grid, self.kernels,
-                              self.tables, cap=cfg.numerics.cell_capacity)
-        force_s = pk.phase2_forces(
-            frame, rv, f1, f1, self.cell_grid, self.kernels, self.tables,
-            volume=self.volume, two_dimensional=cfg.two_dimensional,
-            cap=cfg.numerics.cell_capacity,
-        )
-        virial_s, vp_s = pk.packed_virial(
-            frame, f1, self.cell_grid, self.kernels, self.tables,
-            volume=self.volume, two_dimensional=cfg.two_dimensional,
-            cap=cfg.numerics.cell_capacity,
-        )
-        # un-sort everything back to slot order in one multi-operand sort
-        (force, pp, pa, vs, da, dvg, gc, nbr_count, vp, *virial_rows) = pk.unsort(
-            frame, force_s, f1["pressure_p"], f1["pressure_a"],
-            f1["vol_strain"], f1["density_a"], f1["divergence"],
-            f1["gravity_center"], f1["neighbor_count"].astype(pos.dtype),
-            vp_s, *[virial_s[c] for c in range(9)],
-        )
+        frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
+                              with_cell_start=(self._backend != "pallas"))
+        if self._backend == "pallas":
+            # route ALL heavy phases (incl. virial) through the window
+            # kernels: the packed candidate graph compiles for minutes at
+            # large N (301 s at 125k particles measured on v5e)
+            pcfg = pw.PallasConfig(
+                block=cfg.numerics.pallas_block, wmax=cfg.numerics.pallas_wmax,
+                surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
+                uniform_ratio=all(
+                    r == 1.0 for row in cfg.interaction_ratio for r in row
+                ),
+            )
+            f1 = pw.phase1_fields_pallas(
+                frame, self.cell_grid, self.kernels, self.tables,
+                cfg=pcfg, interpret=self._pallas_interpret,
+            )
+            force_s = pw.phase2_forces_pallas(
+                frame, f1, self.cell_grid, self.kernels, self.tables,
+                volume=self.volume, two_dimensional=cfg.two_dimensional,
+                cfg=pcfg, interpret=self._pallas_interpret,
+            )
+            virial_s, vp_s = pw.virial_pallas(
+                frame, f1, self.cell_grid, self.kernels, self.tables,
+                volume=self.volume, two_dimensional=cfg.two_dimensional,
+                cfg=pcfg, interpret=self._pallas_interpret,
+            )
+        else:
+            rv = pk.receivers_of(frame)
+            f1 = pk.phase1_fields(frame, rv, self.cell_grid, self.kernels,
+                                  self.tables, cap=cfg.numerics.cell_capacity)
+            force_s = pk.phase2_forces(
+                frame, rv, f1, f1, self.cell_grid, self.kernels, self.tables,
+                volume=self.volume, two_dimensional=cfg.two_dimensional,
+                cap=cfg.numerics.cell_capacity,
+            )
+            virial_s, vp_s = pk.packed_virial(
+                frame, f1, self.cell_grid, self.kernels, self.tables,
+                volume=self.volume, two_dimensional=cfg.two_dimensional,
+                cap=cfg.numerics.cell_capacity,
+            )
+        # un-sort everything back to slot order by inverse-permutation GATHER:
+        # a 17-operand lax.sort unsort takes >4 minutes to COMPILE at 125k
+        # particles (comparator-network blowup), while 17 row-gathers run in
+        # ~ms -- the right trade at output time (per-row gather ~3.4ns)
+        inv = jnp.argsort(frame.orig)
+        (force, pp, pa, vs, da, dvg, gc, nbr_count, vp, *virial_rows) = [
+            a[inv] for a in (
+                force_s, f1["pressure_p"], f1["pressure_a"],
+                f1["vol_strain"], f1["density_a"], f1["divergence"],
+                f1["gravity_center"], f1["neighbor_count"].astype(pos.dtype),
+                vp_s, *[virial_s[c] for c in range(9)],
+            )
+        ]
 
         f = sl.deformation_gradient_subset(
             pos[self.solid.s_idx], self.solid, self.domain_width

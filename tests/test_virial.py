@@ -86,3 +86,29 @@ def test_virial_matches_numpy():
     np.testing.assert_allclose(
         vp, -(expect[:, 0, 0] + expect[:, 1, 1]) / 2, atol=1e-9 * scale
     )
+
+
+def test_pallas_diagnostics_match_packed():
+    """The pallas diagnostic path (phase1 + phase2 + virial window kernels)
+    must agree with the packed path on the full diagnostics dict."""
+    grid = mini_dam(nx_water=5, ny_water=6)
+    cfg = dam_like_config().replace(
+        surface_tension=(0.02, 0.02, 0.0, 0.0, 0.02, 0.0)
+    )
+    sims = {}
+    for backend in ("packed", "pallas"):
+        num = cfg.numerics.__class__(
+            dtype=cfg.numerics.dtype, backend=backend, pallas_block=32,
+            pallas_wmax=256, cell_capacity=cfg.numerics.cell_capacity,
+        )
+        sims[backend] = Simulation(cfg.replace(numerics=num), grid)
+    s = sims["packed"].run_chunk(sims["packed"].state0, 30)
+    d_packed = sims["packed"].diagnostics(s)
+    d_pallas = sims["pallas"].diagnostics(s)
+    n = grid.n
+    for key in ("pressure_p", "pressure_a", "gravity_center", "force",
+                "virial_stress", "virial_pressure", "neighbor_count"):
+        np.testing.assert_allclose(
+            d_pallas[key][:n], d_packed[key][:n], rtol=1e-9, atol=1e-12,
+            err_msg=key,
+        )
