@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def build_case(n_side: int, backend: str = "packed"):
+def build_case(n_side: int, backend: str = "packed", **numerics_kw):
     from particlemethod_fsi_tpu.config import CaseConfig, NumericsConfig, SCENES
     from particlemethod_fsi_tpu.generator import BoidScene, Primitive, generate_grid
     from particlemethod_fsi_tpu.solver import Simulation
@@ -56,7 +56,8 @@ def build_case(n_side: int, backend: str = "packed"):
         scene=SCENES["dam"],
         # cap 12 covers compressed 2-D cells (~9 lattice sites + margin);
         # B=128/WMAX=256 measured optimal on v5e at 256k-1M particles
-        numerics=NumericsConfig(backend=backend, cell_capacity=12),
+        numerics=NumericsConfig(backend=backend, cell_capacity=12,
+                                **numerics_kw),
     )
     return Simulation(cfg, grid)
 

@@ -89,13 +89,18 @@ def sort_frame(pos, vel, prop, grid: CellGrid, *,
     valid = prop >= 0
     key, _ = _cell_key(pos, grid, valid)
     iota = jnp.arange(n, dtype=jnp.int32)
-    (skey, sx, sy, sz, svx, svy, svz, sprop, sorig) = jax.lax.sort(
-        (key, pos[:, 0], pos[:, 1], pos[:, 2],
-         vel[:, 0], vel[:, 1], vel[:, 2], prop, iota),
-        num_keys=1,
-    )
-    spos = jnp.stack([sx, sy, sz], axis=1)
-    svel = jnp.stack([svx, svy, svz], axis=1)
+    # sort only (key, iota), then permute the payload with ONE row-gather:
+    # a 9-operand sort drags every payload column through each
+    # compare-exchange stage (12.5 ms at 500k on v5e) while a [N, 8] row
+    # gather costs ~3.4 ns/row (width-independent up to 128 lanes)
+    skey, sorig = jax.lax.sort((key, iota), num_keys=2)
+    payload = jnp.concatenate(
+        [pos, vel, prop[:, None].astype(pos.dtype),
+         jnp.zeros((n, 1), pos.dtype)], axis=1,
+    )[sorig]
+    spos = payload[:, 0:3]
+    svel = payload[:, 3:6]
+    sprop = payload[:, 6].astype(prop.dtype)
     if with_cell_start:
         cell_start = jnp.searchsorted(
             skey, jnp.arange(grid.num_cells + 1, dtype=jnp.int32)

@@ -50,8 +50,10 @@ from particlemethod_fsi_tpu.ops.neighbors import CellGrid
 from particlemethod_fsi_tpu.ops.packed_engine import SortedFrame
 from particlemethod_fsi_tpu.ops.smoothing import KernelSet
 
-# Packed rows are padded to one full 128-lane tile: Mosaic requires DMA'd
-# HBM slices to span whole lane tiles, so narrower rows cannot be windowed.
+# Packed rows are padded to one full 128-lane tile: Mosaic lays HBM operands
+# out (1,128)-tiled regardless of their minor dim, and DMA'd slices must be
+# 128-aligned along lanes (measured: a [N,16] operand still compiles to a
+# memref<...x128> and the row-range DMA is rejected).
 # phase-1 live lanes: x y z vx vy vz prop id ir_row[6]  (14)
 P1_W = 128
 # phase-2 live lanes:
@@ -66,6 +68,14 @@ class PallasConfig(NamedTuple):
     # skipped terms are exactly zero / exactly 1.0 multiplies)
     surface_tension: bool = True  # any CofA != 0
     uniform_ratio: bool = False  # all InteractionRatio == 1
+    # planar: all particle z equal, all z velocities zero, no z gravity/wall
+    # motion (checked host-side in the solver) -- every z term is exactly
+    # zero, so the kernels skip ~20% of the per-slot VPU work
+    planar: bool = False
+    # all four support radii equal (RadiusRatio A=P=V, the default 2.5; G is
+    # always aliased to A): the family masks and (1-q) powers coincide
+    # bit-exactly and are computed once
+    uniform_radii: bool = False
 
 
 def row_offsets(grid: CellGrid):
@@ -128,7 +138,8 @@ def check_no_wrap_pairs(grid: CellGrid, positions, valid, support: float) -> boo
 # kernel bodies
 # ---------------------------------------------------------------------------
 
-def _edge_mask_and_geometry(rec, wt, *, grid: CellGrid, off_yz, dtype):
+def _edge_mask_and_geometry(rec, wt, *, grid: CellGrid, off_yz, dtype,
+                            planar=False):
     """Shared per-(block, window) edge mask + geometry, receiver-major:
     pair arrays are [B, WMAX]; window fields come from the once-transposed
     window ``wt`` [W, WMAX] as sublane slices, receiver fields from ``rec``
@@ -143,7 +154,10 @@ def _edge_mask_and_geometry(rec, wt, *, grid: CellGrid, off_yz, dtype):
 
     def cell_coord(x, d):
         # clipped exactly like the sort's cell assignment
-        # (packed_engine._cell_key) so domain-edge particles agree
+        # (packed_engine._cell_key) so domain-edge particles agree.
+        # NOTE: must stay a true divide -- the sort's key uses
+        # (x - dmin) / cw, and a reciprocal-multiply rounds differently
+        # for particles exactly on a cell boundary, splitting ring masks
         c = jnp.floor((x - dmin[d]) / jnp.asarray(cw[d], dtype))
         return jnp.clip(c, 0.0, float(grid.cell_count[d] - 1))
 
@@ -160,6 +174,9 @@ def _edge_mask_and_geometry(rec, wt, *, grid: CellGrid, off_yz, dtype):
 
     dxx = wt[0][None, :] - rec[:, 0][:, None]
     dyy = wt[1][None, :] - rec[:, 1][:, None]
+    if planar:  # z differences are exactly zero
+        return dict(xij=(dxx, dyy, None), rij2=dxx * dxx + dyy * dyy,
+                    ring=ring)
     dzz = wt[2][None, :] - rec[:, 2][:, None]
     rij2 = dxx * dxx + dyy * dyy + dzz * dzz
     return dict(xij=(dxx, dyy, dzz), rij2=rij2, ring=ring)
@@ -211,14 +228,27 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
             def _():
                 chunk_copy(o, k + 1, 1 - slot).start()
 
-            wt = win_scratch[o, slot].T  # [P1_W, WMAX]
+            # transpose only the LIVE lanes (14 of 128): the full-width
+            # transpose relayouts 9x more data than the kernel ever reads
+            wt = win_scratch[o, slot][:, :16].T  # [16, WMAX]
             g = _edge_mask_and_geometry(rec, wt, grid=grid,
-                                        off_yz=offs_yz[o], dtype=dtype)
+                                        off_yz=offs_yz[o], dtype=dtype,
+                                        planar=cfg.planar)
             id_j = wt[7][None, :]
             valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
             valid = valid & (g["rij2"] <= grid.support * grid.support)
-            rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
+            # one rsqrt replaces sqrt + divide (VPU transcendentals are the
+            # per-slot cost floor; ~40 cheap ops but multi-cycle sqrt/div)
+            r2s = jnp.where(valid, g["rij2"], 1.0)
+            inv_r = jax.lax.rsqrt(r2s)
+            rij = r2s * inv_r
             acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
+
+            # with uniform radii (RadiusRatio A=P=V, the default), the family
+            # masks and (1-q) powers coincide bit-exactly: compute them once
+            q_p = rij * (1.0 / ks.radius_p)
+            m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
+            omq_p = 1.0 - q_p
 
             if cfg.surface_tension:
                 if cfg.uniform_ratio:
@@ -230,35 +260,42 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
                         ratio_ij = ratio_ij + jnp.where(
                             prop_j == float(t), rec[:, 8 + t][:, None], 0.0
                         )
+                if cfg.uniform_radii:
+                    m_a = m_g = m_p
+                    q_a = q_p
+                    omq_a2 = omq_p * omq_p
+                    omq_g2 = omq_a2
+                else:
+                    m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
+                    m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
+                    q_a = rij * (1.0 / ks.radius_a)
+                    omq_a2 = (1.0 - q_a) ** 2
+                    q_g = rij * (1.0 / ks.radius_g)
+                    omq_g2 = (1.0 - q_g) ** 2
                 # densityA (wa kernel, >= guard; src/main.cpp:2141-2171)
-                m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
-                q_a = rij / ks.radius_a
-                wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-                    * q_a * (1.0 - q_a) ** 2
+                wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * omq_a2
                 acc_da = acc_da + jnp.sum(jnp.where(m_a, ratio_ij * wa, 0.0),
                                           axis=1)
                 # gravity center (wg kernel; :2174-2210)
-                m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
-                q_g = rij / ks.radius_g
-                wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * (1.0 - q_g) ** 2
+                wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * omq_g2
                 w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g, 0.0)
                 acc_gx = acc_gx + jnp.sum(g["xij"][0] * w_gc, axis=1)
                 acc_gy = acc_gy + jnp.sum(g["xij"][1] * w_gc, axis=1)
-                acc_gz = acc_gz + jnp.sum(g["xij"][2] * w_gc, axis=1)
+                if not cfg.planar:
+                    acc_gz = acc_gz + jnp.sum(g["xij"][2] * w_gc, axis=1)
 
             # wp sum + divergence (:2314-2379)
-            m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
-            q_p = rij / ks.radius_p
             norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-            wp = norm_p * (1.0 - q_p) ** 2
+            wp = norm_p * (omq_p * omq_p)
             acc_wp = acc_wp + jnp.sum(jnp.where(m_p, wp, 0.0), axis=1)
-            dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
-            inv_r = 1.0 / rij
+            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
             ux = wt[3][None, :] - rec[:, 3][:, None]
             uy = wt[4][None, :] - rec[:, 4][:, None]
-            uz = wt[5][None, :] - rec[:, 5][:, None]
-            udote = (ux * g["xij"][0] + uy * g["xij"][1]
-                     + uz * g["xij"][2]) * inv_r
+            udotx = ux * g["xij"][0] + uy * g["xij"][1]
+            if not cfg.planar:
+                uz = wt[5][None, :] - rec[:, 5][:, None]
+                udotx = udotx + uz * g["xij"][2]
+            udote = udotx * inv_r
             acc_div = acc_div - jnp.sum(jnp.where(m_p, udote * dwp, 0.0), axis=1)
 
             acc_cnt = acc_cnt + jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)
@@ -327,17 +364,20 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
                 chunk_copy(o, k + 1, 1 - slot).start()
 
             fx, fy, fz = accs
-            wt = win_scratch[o, slot].T  # [P2_W, WMAX]
+            # live lanes only (27 of 128); see _phase1_kernel comment
+            wt = win_scratch[o, slot][:, :32].T  # [32, WMAX]
             g = _edge_mask_and_geometry(rec, wt, grid=grid,
-                                        off_yz=offs_yz[o], dtype=dtype)
+                                        off_yz=offs_yz[o], dtype=dtype,
+                                        planar=cfg.planar)
             id_j = wt[13][None, :]
             valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
             valid = valid & (g["rij2"] <= grid.support * grid.support)
-            rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
-            inv_r = 1.0 / rij
+            r2s = jnp.where(valid, g["rij2"], 1.0)
+            inv_r = jax.lax.rsqrt(r2s)  # one rsqrt replaces sqrt + divide
+            rij = r2s * inv_r
             ex = g["xij"][0] * inv_r
             ey = g["xij"][1] * inv_r
-            ez = g["xij"][2] * inv_r
+            ez = None if cfg.planar else g["xij"][2] * inv_r
 
             prop_j = wt[12][None, :]
             ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
@@ -355,73 +395,91 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
             pa_j = wt[4][None, :]
             mu_j = wt[8][None, :]
 
-            # pressureP + FSI interface load (:2394-2424, :2439-2472)
+            # pressureP + FSI interface load (:2394-2424, :2439-2472);
+            # uniform radii (the default) share mask + (1-q) across families
             m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
             norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-            q_p = rij / ks.radius_p
-            dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+            q_p = rij * (1.0 / ks.radius_p)
+            omq_p = 1.0 - q_p
+            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
             coeff_pp = (pp_i + pp_j) * dwp * volume
             radial = jnp.where(m_p & ~rs, coeff_pp, 0.0)
             radial = radial + jnp.where(m_p & rs & ~ss, coeff_pp, 0.0)
 
             # pressureA (:2225-2258); exactly zero without surface tension
             if cfg.surface_tension:
-                m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
-                q_a = rij / ks.radius_a
+                if cfg.uniform_radii:
+                    m_a, q_a, omq_a = m_p, q_p, omq_p
+                else:
+                    m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+                    q_a = rij * (1.0 / ks.radius_a)
+                    omq_a = 1.0 - q_a
                 dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-                    * (1.0 - q_a) * (1.0 - 3.0 * q_a) / ks.radius_a
+                    * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
                 coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
                 radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
 
             # viscosity (:2478-2522)
-            m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+            if cfg.uniform_radii:
+                m_v, omq_v = m_p, omq_p
+            else:
+                m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+                omq_v = 1.0 - rij * (1.0 / ks.radius_v)
             ux = wt[9][None, :] - rec[:, 9][:, None]
             uy = wt[10][None, :] - rec[:, 10][:, None]
-            uz = wt[11][None, :] - rec[:, 11][:, None]
-            udote = ux * ex + uy * ey + uz * ez
+            udote = ux * ex + uy * ey
+            if not cfg.planar:
+                uz = wt[11][None, :] - rec[:, 11][:, None]
+                udote = udote + uz * ez
             mu_den = mu_i + mu_j
             mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
                              / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
-            q_v = rij / ks.radius_v
             dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
-                * (-2.0 / ks.radius_v) * (1.0 - q_v)
+                * (-2.0 / ks.radius_v) * omq_v
             coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
             radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
 
             fx = fx + jnp.sum(radial * ex, axis=1)
             fy = fy + jnp.sum(radial * ey, axis=1)
-            fz = fz + jnp.sum(radial * ez, axis=1)
+            if not cfg.planar:
+                fz = fz + jnp.sum(radial * ez, axis=1)
 
             # diffuse interface, two terms (:2261-2312); a_j uses CofA[prop_i];
             # exactly zero without surface tension (a_i = CofA = 0)
             if cfg.surface_tension:
-                m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
-                q_g = rij / ks.radius_g
+                if cfg.uniform_radii:
+                    m_g, omq_g = m_p, omq_p
+                else:
+                    m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+                    omq_g = 1.0 - rij * (1.0 / ks.radius_g)
                 norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
-                wgv = norm_g * (1.0 - q_g) ** 2
-                dwg = norm_g * (-2.0 / ks.radius_g) * (1.0 - q_g)
+                wgv = norm_g * (omq_g * omq_g)
+                dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
                 wij = ratio_ij * wgv
                 wji = ratio_ji * wgv
                 dwij = ratio_ij * dwg
                 dwji = ratio_ji * dwg
                 gcx_j = wt[5][None, :]
                 gcy_j = wt[6][None, :]
-                gcz_j = wt[7][None, :]
                 mdi = m_g & ~rs
                 t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
                 t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
-                t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
-                gr = a_i * (
+                gr_sum = (
                     (gcx_j * dwji - gci[0] * dwij) * g["xij"][0]
                     + (gcy_j * dwji - gci[1] * dwij) * g["xij"][1]
-                    + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
                 )
+                if not cfg.planar:
+                    gcz_j = wt[7][None, :]
+                    t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
+                    gr_sum = gr_sum + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
+                gr = a_i * gr_sum
                 fx = fx - jnp.sum(jnp.where(mdi, t1x + gr * ex * scale_di, 0.0),
                                   axis=1)
                 fy = fy - jnp.sum(jnp.where(mdi, t1y + gr * ey * scale_di, 0.0),
                                   axis=1)
-                fz = fz - jnp.sum(jnp.where(mdi, t1z + gr * ez * scale_di, 0.0),
-                                  axis=1)
+                if not cfg.planar:
+                    fz = fz - jnp.sum(
+                        jnp.where(mdi, t1z + gr * ez * scale_di, 0.0), axis=1)
             return (fx, fy, fz)
 
         accs = jax.lax.fori_loop(0, nch, body, accs)
@@ -618,16 +676,19 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
             def _():
                 chunk_copy(o, k + 1, 1 - slot).start()
 
-            wt = win_scratch[o, slot].T  # [P2_W, WMAX]
+            # live lanes only (27 of 128); see _phase1_kernel comment
+            wt = win_scratch[o, slot][:, :32].T  # [32, WMAX]
             g = _edge_mask_and_geometry(rec, wt, grid=grid,
-                                        off_yz=offs_yz[o], dtype=dtype)
+                                        off_yz=offs_yz[o], dtype=dtype,
+                                        planar=cfg.planar)
             id_j = wt[13][None, :]
             valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
             valid = valid & (g["rij2"] <= grid.support * grid.support)
-            rij = jnp.sqrt(jnp.where(valid, g["rij2"], 1.0))
-            inv_r = 1.0 / rij
-            eij = (g["xij"][0] * inv_r, g["xij"][1] * inv_r,
-                   g["xij"][2] * inv_r)
+            r2s = jnp.where(valid, g["rij2"], 1.0)
+            inv_r = jax.lax.rsqrt(r2s)  # one rsqrt replaces sqrt + divide
+            rij = r2s * inv_r
+            ndim = 2 if cfg.planar else 3
+            eij = tuple(g["xij"][a] * inv_r for a in range(ndim))
 
             if cfg.uniform_ratio:
                 ratio_ij = 1.0
@@ -641,59 +702,73 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
             # pressureP family: receiver pressure only (:3106-3140)
             m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
             norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-            q_p = rij / ks.radius_p
-            dwp = norm_p * (-2.0 / ks.radius_p) * (1.0 - q_p)
+            q_p = rij * (1.0 / ks.radius_p)
+            omq_p = 1.0 - q_p
+            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
             coeff = jnp.where(m_p, pp_i * dwp * volume, 0.0)
 
             if cfg.surface_tension:
                 # pressureA family (:3143-3180)
-                m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
-                q_a = rij / ks.radius_a
+                if cfg.uniform_radii:
+                    m_a, q_a, omq_a = m_p, q_p, omq_p
+                else:
+                    m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+                    q_a = rij * (1.0 / ks.radius_a)
+                    omq_a = 1.0 - q_a
                 dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-                    * (1.0 - q_a) * (1.0 - 3.0 * q_a) / ks.radius_a
+                    * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
                 coeff = coeff + jnp.where(
                     m_a, pa_i * ratio_ij * dwa * volume, 0.0)
 
             # viscosity, half-weighted (:3221)
-            m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+            if cfg.uniform_radii:
+                m_v, omq_v = m_p, omq_p
+            else:
+                m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+                omq_v = 1.0 - rij * (1.0 / ks.radius_v)
             ux = wt[9][None, :] - rec[:, 9][:, None]
             uy = wt[10][None, :] - rec[:, 10][:, None]
-            uz = wt[11][None, :] - rec[:, 11][:, None]
-            udote = ux * eij[0] + uy * eij[1] + uz * eij[2]
+            udote = ux * eij[0] + uy * eij[1]
+            if not cfg.planar:
+                uz = wt[11][None, :] - rec[:, 11][:, None]
+                udote = udote + uz * eij[2]
             mu_j = wt[8][None, :]
             mu_den = mu_i + mu_j
             mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
                              / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
-            q_v = rij / ks.radius_v
             dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
-                * (-2.0 / ks.radius_v) * (1.0 - q_v)
+                * (-2.0 / ks.radius_v) * omq_v
             visc = c_v * mu_h * udote * (-dwv) * inv_r * volume
             coeff = coeff + 0.5 * jnp.where(m_v, visc, 0.0)
 
             # diffuse interface: radial 2nd term + along-gc_i 1st term
             # (:3234-3301); exactly zero without surface tension
             if cfg.surface_tension:
-                m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
-                q_g = rij / ks.radius_g
+                if cfg.uniform_radii:
+                    m_g, omq_g = m_p, omq_p
+                else:
+                    m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+                    omq_g = 1.0 - rij * (1.0 / ks.radius_g)
                 norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
-                wgv = norm_g * (1.0 - q_g) ** 2
-                dwg = norm_g * (-2.0 / ks.radius_g) * (1.0 - q_g)
-                gr = -(gci[0] * g["xij"][0] + gci[1] * g["xij"][1]
-                       + gci[2] * g["xij"][2])
+                wgv = norm_g * (omq_g * omq_g)
+                dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
+                gr = -(gci[0] * g["xij"][0] + gci[1] * g["xij"][1])
+                if not cfg.planar:
+                    gr = gr - gci[2] * g["xij"][2]
                 coeff = coeff + jnp.where(
                     m_g, -a_i * gr * ratio_ij * dwg * scale_di, 0.0)
                 w_g1 = jnp.where(m_g, a_i * ratio_ij * wgv * scale_di, 0.0)
             else:
                 w_g1 = None
 
-            new = []
-            for a in range(3):
+            new = list(accs)
+            for a in range(ndim):
                 f_a = coeff * eij[a]
                 if w_g1 is not None:
                     f_a = f_a + w_g1 * gci[a]
-                for bb in range(3):
-                    new.append(accs[3 * a + bb]
-                               + jnp.sum(f_a * g["xij"][bb], axis=1))
+                for bb in range(ndim):
+                    new[3 * a + bb] = (accs[3 * a + bb]
+                                       + jnp.sum(f_a * g["xij"][bb], axis=1))
             return tuple(new)
 
         accs = jax.lax.fori_loop(0, nch, body, accs)

@@ -135,6 +135,20 @@ class Simulation:
             )
             self._backend = "packed"
 
+        # compile-time pallas specialization, shared by step + diagnostics
+        self._pcfg = pw.PallasConfig(
+            block=cfg.numerics.pallas_block,
+            wmax=cfg.numerics.pallas_wmax,
+            surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
+            uniform_ratio=all(
+                r == 1.0 for row in cfg.interaction_ratio for r in row
+            ),
+            planar=self._is_planar(grid),
+            uniform_radii=(self.kernels.radius_a == self.kernels.radius_p
+                           == self.kernels.radius_v
+                           == self.kernels.radius_g),
+        )
+
         # note: only the chunked runner donates its carry; the single-step
         # path keeps inputs alive (callers re-use state0 / inspect states)
         self._step_jit = jax.jit(self._step)
@@ -142,6 +156,26 @@ class Simulation:
         self._diag_jit = jax.jit(self._diagnostics)
 
     # ------------------------------------------------------------------
+    def _is_planar(self, grid: GridData) -> bool:
+        """Host-side check that the case is exactly planar (2-D scenes in the
+        reference's TWO_DIMENSIONAL sense): all z coordinates identical, all
+        z velocities zero, no z gravity, and all wall motion in-plane.  Under
+        those conditions every z pair term is exactly zero, so the pallas
+        kernels may skip the z math with bit-identical results."""
+        cfg = self.cfg
+        if not cfg.two_dimensional:
+            return False
+        z = grid.position[:, 2]
+        if z.size and (np.any(z != z[0]) or np.any(grid.velocity[:, 2] != 0.0)
+                       or np.any(grid.initial_position[:, 2] != z[0])):
+            return False
+        if cfg.gravity[2] != 0.0:
+            return False
+        for w in cfg.walls:
+            if w.velocity[2] != 0.0 or w.omega[0] != 0.0 or w.omega[1] != 0.0:
+                return False
+        return True
+
     def _initial_structure_neighbors(self, grid: GridData):
         """Host-side structure-structure neighbor search over InitialPosition
         (calculateInitialNeighbor, src/main.cpp:1497-1658): same support
@@ -288,14 +322,7 @@ class Simulation:
             frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
                                   with_cell_start=(backend == "packed"))
             if backend == "pallas":
-                pcfg = pw.PallasConfig(
-                    block=self.cfg.numerics.pallas_block,
-                    wmax=self.cfg.numerics.pallas_wmax,
-                    surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
-                    uniform_ratio=all(
-                        r == 1.0 for row in self.cfg.interaction_ratio for r in row
-                    ),
-                )
+                pcfg = self._pcfg
                 f1 = pw.phase1_fields_pallas(
                     frame, self.cell_grid, self.kernels, self.tables,
                     cfg=pcfg, interpret=self._pallas_interpret,
@@ -398,13 +425,7 @@ class Simulation:
             # route ALL heavy phases (incl. virial) through the window
             # kernels: the packed candidate graph compiles for minutes at
             # large N (301 s at 125k particles measured on v5e)
-            pcfg = pw.PallasConfig(
-                block=cfg.numerics.pallas_block, wmax=cfg.numerics.pallas_wmax,
-                surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
-                uniform_ratio=all(
-                    r == 1.0 for row in cfg.interaction_ratio for r in row
-                ),
-            )
+            pcfg = self._pcfg
             f1 = pw.phase1_fields_pallas(
                 frame, self.cell_grid, self.kernels, self.tables,
                 cfg=pcfg, interpret=self._pallas_interpret,
@@ -486,9 +507,8 @@ class Simulation:
         silently drop pairs, so the CLI checks this every output)."""
         if self._backend != "pallas":
             return jnp.asarray(0, dtype=jnp.int32)
-        pcfg = pw.PallasConfig(block=self.cfg.numerics.pallas_block,
-                               wmax=self.cfg.numerics.pallas_wmax)
-        return jnp.max(pw.compute_windows(frame, self.cell_grid, pcfg)[1])
+        return jnp.max(
+            pw.compute_windows(frame, self.cell_grid, self._pcfg)[1])
 
     def diagnostics(self, state: ParticleState) -> dict:
         """Device diagnostics + host-side tensor assembly (full [N,3,3]
