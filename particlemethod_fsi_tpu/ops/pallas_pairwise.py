@@ -76,6 +76,11 @@ class PallasConfig(NamedTuple):
     # always aliased to A): the family masks and (1-q) powers coincide
     # bit-exactly and are computed once
     uniform_radii: bool = False
+    # receiver sub-blocks per grid program; measured neutral at 500k on v5e
+    # (Mosaic pipelines grid steps well in the real kernels -- the ~1.6 us
+    # per-step overhead seen by a no-op probe kernel hides under DMA/compute)
+    # so default 1 to keep compiles fast; driver clamps to a divisor
+    subblocks: int = 1
 
 
 def row_offsets(grid: CellGrid):
@@ -184,322 +189,344 @@ def _edge_mask_and_geometry(rec, wt, *, grid: CellGrid, off_yz, dtype,
 
 def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
                    win_scratch, sems, *, grid: CellGrid, ks: KernelSet,
-                   cfg: PallasConfig, offs_yz):
+                   cfg: PallasConfig, offs_yz, sub: int = 1):
     """Phase-1 sweep with CHUNKED windows: each (offset) window is walked in
     wmax-row chunks with double-buffered DMA, so arbitrarily long windows
     (e.g. blocks spanning a fluid->void transition whose cell range covers
     the rest of a row) are handled exactly -- the ring/radius masks make the
     beyond-window rows in partially-read chunks contribute zero."""
     n_off = len(offs_yz)
-    b = pl.program_id(0)
+    bp = pl.program_id(0)
 
-    rec = rec_ref[:]  # [B, P1_W]
-    dtype = rec.dtype
-    bsz = rec.shape[0]
-    id_i = rec[:, 7][:, None]
+    rec_all = rec_ref[:]  # [B, P1_W]
+    dtype = rec_all.dtype
+    bsz = rec_all.shape[0] // sub
+    # one grid step handles `sub` consecutive receiver sub-blocks to
+    # amortize the ~1.6 us per-grid-step Mosaic overhead
+    for i in range(sub):
+        b = bp * sub + i
+        rec = rec_all[i * bsz:(i + 1) * bsz]
+        id_i = rec[:, 7][:, None]
 
-    def chunk_copy(o, k, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
-            win_scratch.at[o, slot],
-            sems.at[o, slot],
-        )
+        def chunk_copy(o, k, slot):
+            return pltpu.make_async_copy(
+                packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+                win_scratch.at[o, slot],
+                sems.at[o, slot],
+            )
 
-    for o in range(n_off):
-        chunk_copy(o, 0, 0).start()
+        for o in range(n_off):
+            chunk_copy(o, 0, 0).start()
 
-    accs0 = tuple(jnp.zeros((bsz,), dtype) for _ in range(7))
-    accs = accs0
-    for o in range(n_off):
-        # at least one chunk: the prologue already started chunk 0, and an
-        # unconsumed DMA completion would leak the shared semaphore into the
-        # next grid program (ring/poison masks make an empty chunk harmless)
-        nch = jnp.maximum(
-            jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
-                        jnp.int32(cfg.wmax)),
-            jnp.int32(1),
-        )
+        accs0 = tuple(jnp.zeros((bsz,), dtype) for _ in range(7))
+        accs = accs0
+        for o in range(n_off):
+            # at least one chunk: the prologue already started chunk 0, and an
+            # unconsumed DMA completion would leak the shared semaphore into the
+            # next grid program (ring/poison masks make an empty chunk harmless)
+            nch = jnp.maximum(
+                jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                            jnp.int32(cfg.wmax)),
+                jnp.int32(1),
+            )
 
-        def body(k, accs, o=o):
-            slot = jax.lax.rem(k, jnp.int32(2))
-            chunk_copy(o, k, slot).wait()
+            def body(k, accs, o=o):
+                slot = jax.lax.rem(k, jnp.int32(2))
+                chunk_copy(o, k, slot).wait()
 
-            @pl.when(k + 1 < nch)
-            def _():
-                chunk_copy(o, k + 1, 1 - slot).start()
+                @pl.when(k + 1 < nch)
+                def _():
+                    chunk_copy(o, k + 1, 1 - slot).start()
 
-            # transpose only the LIVE lanes (14 of 128): the full-width
-            # transpose relayouts 9x more data than the kernel ever reads
-            wt = win_scratch[o, slot][:, :16].T  # [16, WMAX]
-            g = _edge_mask_and_geometry(rec, wt, grid=grid,
-                                        off_yz=offs_yz[o], dtype=dtype,
-                                        planar=cfg.planar)
-            id_j = wt[7][None, :]
-            valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
-            valid = valid & (g["rij2"] <= grid.support * grid.support)
-            # one rsqrt replaces sqrt + divide (VPU transcendentals are the
-            # per-slot cost floor; ~40 cheap ops but multi-cycle sqrt/div)
-            r2s = jnp.where(valid, g["rij2"], 1.0)
-            inv_r = jax.lax.rsqrt(r2s)
-            rij = r2s * inv_r
-            acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
+                # transpose only the LIVE lanes (14 of 128): the full-width
+                # transpose relayouts 9x more data than the kernel ever reads
+                wt = win_scratch[o, slot][:, :16].T  # [16, WMAX]
+                g = _edge_mask_and_geometry(rec, wt, grid=grid,
+                                            off_yz=offs_yz[o], dtype=dtype,
+                                            planar=cfg.planar)
+                id_j = wt[7][None, :]
+                valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+                valid = valid & (g["rij2"] <= grid.support * grid.support)
+                # one rsqrt replaces sqrt + divide (VPU transcendentals are the
+                # per-slot cost floor; ~40 cheap ops but multi-cycle sqrt/div)
+                r2s = jnp.where(valid, g["rij2"], 1.0)
+                inv_r = jax.lax.rsqrt(r2s)
+                rij = r2s * inv_r
+                acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
 
-            # with uniform radii (RadiusRatio A=P=V, the default), the family
-            # masks and (1-q) powers coincide bit-exactly: compute them once
-            q_p = rij * (1.0 / ks.radius_p)
-            m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
-            omq_p = 1.0 - q_p
+                # with uniform radii (RadiusRatio A=P=V, the default), the family
+                # masks and (1-q) powers coincide bit-exactly: compute them once
+                q_p = rij * (1.0 / ks.radius_p)
+                m_p = valid & (ks.radius_p**2 - g["rij2"] >= 0)
+                omq_p = 1.0 - q_p
 
-            if cfg.surface_tension:
-                if cfg.uniform_ratio:
-                    ratio_ij = 1.0
-                else:
-                    prop_j = wt[6][None, :]
-                    ratio_ij = jnp.zeros_like(rij)
-                    for t in range(TYPE_COUNT):
-                        ratio_ij = ratio_ij + jnp.where(
-                            prop_j == float(t), rec[:, 8 + t][:, None], 0.0
-                        )
-                if cfg.uniform_radii:
-                    m_a = m_g = m_p
-                    q_a = q_p
-                    omq_a2 = omq_p * omq_p
-                    omq_g2 = omq_a2
-                else:
-                    m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
-                    m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
-                    q_a = rij * (1.0 / ks.radius_a)
-                    omq_a2 = (1.0 - q_a) ** 2
-                    q_g = rij * (1.0 / ks.radius_g)
-                    omq_g2 = (1.0 - q_g) ** 2
-                # densityA (wa kernel, >= guard; src/main.cpp:2141-2171)
-                wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * omq_a2
-                acc_da = acc_da + jnp.sum(jnp.where(m_a, ratio_ij * wa, 0.0),
-                                          axis=1)
-                # gravity center (wg kernel; :2174-2210)
-                wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * omq_g2
-                w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g, 0.0)
-                acc_gx = acc_gx + jnp.sum(g["xij"][0] * w_gc, axis=1)
-                acc_gy = acc_gy + jnp.sum(g["xij"][1] * w_gc, axis=1)
+                if cfg.surface_tension:
+                    if cfg.uniform_ratio:
+                        ratio_ij = 1.0
+                    else:
+                        prop_j = wt[6][None, :]
+                        ratio_ij = jnp.zeros_like(rij)
+                        for t in range(TYPE_COUNT):
+                            ratio_ij = ratio_ij + jnp.where(
+                                prop_j == float(t), rec[:, 8 + t][:, None], 0.0
+                            )
+                    if cfg.uniform_radii:
+                        m_a = m_g = m_p
+                        q_a = q_p
+                        omq_a2 = omq_p * omq_p
+                        omq_g2 = omq_a2
+                    else:
+                        m_a = valid & (ks.radius_a**2 - g["rij2"] >= 0)
+                        m_g = valid & (ks.radius_g**2 - g["rij2"] >= 0)
+                        q_a = rij * (1.0 / ks.radius_a)
+                        omq_a2 = (1.0 - q_a) ** 2
+                        q_g = rij * (1.0 / ks.radius_g)
+                        omq_g2 = (1.0 - q_g) ** 2
+                    # densityA (wa kernel, >= guard; src/main.cpp:2141-2171)
+                    wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * omq_a2
+                    acc_da = acc_da + jnp.sum(jnp.where(m_a, ratio_ij * wa, 0.0),
+                                              axis=1)
+                    # gravity center (wg kernel; :2174-2210)
+                    wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * omq_g2
+                    w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g, 0.0)
+                    acc_gx = acc_gx + jnp.sum(g["xij"][0] * w_gc, axis=1)
+                    acc_gy = acc_gy + jnp.sum(g["xij"][1] * w_gc, axis=1)
+                    if not cfg.planar:
+                        acc_gz = acc_gz + jnp.sum(g["xij"][2] * w_gc, axis=1)
+
+                # wp sum + divergence (:2314-2379)
+                norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+                wp = norm_p * (omq_p * omq_p)
+                acc_wp = acc_wp + jnp.sum(jnp.where(m_p, wp, 0.0), axis=1)
+                dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
+                ux = wt[3][None, :] - rec[:, 3][:, None]
+                uy = wt[4][None, :] - rec[:, 4][:, None]
+                udotx = ux * g["xij"][0] + uy * g["xij"][1]
                 if not cfg.planar:
-                    acc_gz = acc_gz + jnp.sum(g["xij"][2] * w_gc, axis=1)
+                    uz = wt[5][None, :] - rec[:, 5][:, None]
+                    udotx = udotx + uz * g["xij"][2]
+                udote = udotx * inv_r
+                acc_div = acc_div - jnp.sum(jnp.where(m_p, udote * dwp, 0.0), axis=1)
 
-            # wp sum + divergence (:2314-2379)
-            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-            wp = norm_p * (omq_p * omq_p)
-            acc_wp = acc_wp + jnp.sum(jnp.where(m_p, wp, 0.0), axis=1)
-            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
-            ux = wt[3][None, :] - rec[:, 3][:, None]
-            uy = wt[4][None, :] - rec[:, 4][:, None]
-            udotx = ux * g["xij"][0] + uy * g["xij"][1]
-            if not cfg.planar:
-                uz = wt[5][None, :] - rec[:, 5][:, None]
-                udotx = udotx + uz * g["xij"][2]
-            udote = udotx * inv_r
-            acc_div = acc_div - jnp.sum(jnp.where(m_p, udote * dwp, 0.0), axis=1)
+                acc_cnt = acc_cnt + jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)
+                return (acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt)
 
-            acc_cnt = acc_cnt + jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)
-            return (acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt)
+            accs = jax.lax.fori_loop(0, nch, body, accs)
 
-        accs = jax.lax.fori_loop(0, nch, body, accs)
-
-    acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
-    out_ref[:] = jnp.stack(
-        [acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt,
-         jnp.zeros((bsz,), dtype)], axis=1)
+        acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt = accs
+        out_ref[i * bsz:(i + 1) * bsz] = jnp.stack(
+            [acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, acc_cnt,
+             jnp.zeros((bsz,), dtype)], axis=1)
 
 
 def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
                    win_scratch, sems, *, grid: CellGrid, ks: KernelSet,
                    cfg: PallasConfig, offs_yz, volume: float,
-                   two_dimensional: bool):
+                   two_dimensional: bool, sub: int = 1):
     """Phase-2 force sweep with chunked double-buffered windows (see
     _phase1_kernel)."""
     n_off = len(offs_yz)
-    b = pl.program_id(0)
+    bp = pl.program_id(0)
 
-    rec = rec_ref[:]  # [B, P2_W]
-    dtype = rec.dtype
-    bsz = rec.shape[0]
+    rec_all = rec_ref[:]  # [B, P2_W]
+    dtype = rec_all.dtype
+    bsz = rec_all.shape[0] // sub
+    # one grid step handles `sub` consecutive receiver sub-blocks to
+    # amortize the ~1.6 us per-grid-step Mosaic overhead
+    for i in range(sub):
+        b = bp * sub + i
+        rec = rec_all[i * bsz:(i + 1) * bsz]
 
-    id_i = rec[:, 13][:, None]
-    prop_i = rec[:, 12][:, None]
-    rs = (prop_i >= STRUCTURE_BEGIN) & (prop_i < STRUCTURE_END)  # [B,1]
-    pp_i = rec[:, 3][:, None]
-    pa_i = rec[:, 4][:, None]
-    gci = (rec[:, 5][:, None], rec[:, 6][:, None], rec[:, 7][:, None])
-    mu_i = rec[:, 8][:, None]
-    a_i = rec[:, 14][:, None] * (ks.cof_k * ks.cof_k)
+        id_i = rec[:, 13][:, None]
+        prop_i = rec[:, 12][:, None]
+        rs = (prop_i >= STRUCTURE_BEGIN) & (prop_i < STRUCTURE_END)  # [B,1]
+        pp_i = rec[:, 3][:, None]
+        pa_i = rec[:, 4][:, None]
+        gci = (rec[:, 5][:, None], rec[:, 6][:, None], rec[:, 7][:, None])
+        mu_i = rec[:, 8][:, None]
+        a_i = rec[:, 14][:, None] * (ks.cof_k * ks.cof_k)
 
-    c_v = 8.0 if two_dimensional else 10.0
-    scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+        c_v = 8.0 if two_dimensional else 10.0
+        scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
 
-    def chunk_copy(o, k, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
-            win_scratch.at[o, slot],
-            sems.at[o, slot],
-        )
+        def chunk_copy(o, k, slot):
+            return pltpu.make_async_copy(
+                packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+                win_scratch.at[o, slot],
+                sems.at[o, slot],
+            )
 
-    for o in range(n_off):
-        chunk_copy(o, 0, 0).start()
+        for o in range(n_off):
+            chunk_copy(o, 0, 0).start()
 
-    accs = (jnp.zeros((bsz,), dtype),) * 3
-    for o in range(n_off):
-        # at least one chunk: the prologue already started chunk 0, and an
-        # unconsumed DMA completion would leak the shared semaphore into the
-        # next grid program (ring/poison masks make an empty chunk harmless)
-        nch = jnp.maximum(
-            jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
-                        jnp.int32(cfg.wmax)),
-            jnp.int32(1),
-        )
+        accs = (jnp.zeros((bsz,), dtype),) * 3
+        for o in range(n_off):
+            # at least one chunk: the prologue already started chunk 0, and an
+            # unconsumed DMA completion would leak the shared semaphore into the
+            # next grid program (ring/poison masks make an empty chunk harmless)
+            nch = jnp.maximum(
+                jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                            jnp.int32(cfg.wmax)),
+                jnp.int32(1),
+            )
 
-        def body(k, accs, o=o):
-            slot = jax.lax.rem(k, jnp.int32(2))
-            chunk_copy(o, k, slot).wait()
+            def body(k, accs, o=o):
+                slot = jax.lax.rem(k, jnp.int32(2))
+                chunk_copy(o, k, slot).wait()
 
-            @pl.when(k + 1 < nch)
-            def _():
-                chunk_copy(o, k + 1, 1 - slot).start()
+                @pl.when(k + 1 < nch)
+                def _():
+                    chunk_copy(o, k + 1, 1 - slot).start()
 
-            fx, fy, fz = accs
-            # live lanes only (27 of 128); see _phase1_kernel comment
-            wt = win_scratch[o, slot][:, :32].T  # [32, WMAX]
-            g = _edge_mask_and_geometry(rec, wt, grid=grid,
-                                        off_yz=offs_yz[o], dtype=dtype,
-                                        planar=cfg.planar)
-            id_j = wt[13][None, :]
-            valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
-            valid = valid & (g["rij2"] <= grid.support * grid.support)
-            r2s = jnp.where(valid, g["rij2"], 1.0)
-            inv_r = jax.lax.rsqrt(r2s)  # one rsqrt replaces sqrt + divide
-            rij = r2s * inv_r
-            ex = g["xij"][0] * inv_r
-            ey = g["xij"][1] * inv_r
-            ez = None if cfg.planar else g["xij"][2] * inv_r
+                fx, fy, fz = accs
+                # live lanes only (27 of 128); see _phase1_kernel comment
+                wt = win_scratch[o, slot][:, :32].T  # [32, WMAX]
+                g = _edge_mask_and_geometry(rec, wt, grid=grid,
+                                            off_yz=offs_yz[o], dtype=dtype,
+                                            planar=cfg.planar)
+                id_j = wt[13][None, :]
+                valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+                valid = valid & (g["rij2"] <= grid.support * grid.support)
+                r2s = jnp.where(valid, g["rij2"], 1.0)
+                inv_r = jax.lax.rsqrt(r2s)  # one rsqrt replaces sqrt + divide
+                rij = r2s * inv_r
+                ex = g["xij"][0] * inv_r
+                ey = g["xij"][1] * inv_r
+                ez = None if cfg.planar else g["xij"][2] * inv_r
 
-            prop_j = wt[12][None, :]
-            ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
-            if cfg.uniform_ratio:
-                ratio_ij = ratio_ji = 1.0
-            else:
-                ratio_ij = jnp.zeros_like(rij)
-                ratio_ji = jnp.zeros_like(rij)
-                for t in range(TYPE_COUNT):
-                    sel = prop_j == float(t)
-                    ratio_ij = ratio_ij + jnp.where(sel, rec[:, 15 + t][:, None], 0.0)
-                    ratio_ji = ratio_ji + jnp.where(sel, rec[:, 21 + t][:, None], 0.0)
-
-            pp_j = wt[3][None, :]
-            pa_j = wt[4][None, :]
-            mu_j = wt[8][None, :]
-
-            # pressureP + FSI interface load (:2394-2424, :2439-2472);
-            # uniform radii (the default) share mask + (1-q) across families
-            m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
-            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-            q_p = rij * (1.0 / ks.radius_p)
-            omq_p = 1.0 - q_p
-            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
-            coeff_pp = (pp_i + pp_j) * dwp * volume
-            radial = jnp.where(m_p & ~rs, coeff_pp, 0.0)
-            radial = radial + jnp.where(m_p & rs & ~ss, coeff_pp, 0.0)
-
-            # pressureA (:2225-2258); exactly zero without surface tension
-            if cfg.surface_tension:
-                if cfg.uniform_radii:
-                    m_a, q_a, omq_a = m_p, q_p, omq_p
+                prop_j = wt[12][None, :]
+                ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
+                if cfg.uniform_ratio:
+                    ratio_ij = ratio_ji = 1.0
                 else:
-                    m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
-                    q_a = rij * (1.0 / ks.radius_a)
-                    omq_a = 1.0 - q_a
-                dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-                    * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
-                coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
-                radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
+                    ratio_ij = jnp.zeros_like(rij)
+                    ratio_ji = jnp.zeros_like(rij)
+                    for t in range(TYPE_COUNT):
+                        sel = prop_j == float(t)
+                        ratio_ij = ratio_ij + jnp.where(sel, rec[:, 15 + t][:, None], 0.0)
+                        ratio_ji = ratio_ji + jnp.where(sel, rec[:, 21 + t][:, None], 0.0)
 
-            # viscosity (:2478-2522)
-            if cfg.uniform_radii:
-                m_v, omq_v = m_p, omq_p
-            else:
-                m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
-                omq_v = 1.0 - rij * (1.0 / ks.radius_v)
-            ux = wt[9][None, :] - rec[:, 9][:, None]
-            uy = wt[10][None, :] - rec[:, 10][:, None]
-            udote = ux * ex + uy * ey
-            if not cfg.planar:
-                uz = wt[11][None, :] - rec[:, 11][:, None]
-                udote = udote + uz * ez
-            mu_den = mu_i + mu_j
-            mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
-                             / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
-            dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
-                * (-2.0 / ks.radius_v) * omq_v
-            coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
-            radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
+                pp_j = wt[3][None, :]
+                pa_j = wt[4][None, :]
+                mu_j = wt[8][None, :]
 
-            fx = fx + jnp.sum(radial * ex, axis=1)
-            fy = fy + jnp.sum(radial * ey, axis=1)
-            if not cfg.planar:
-                fz = fz + jnp.sum(radial * ez, axis=1)
+                # pressureP + FSI interface load (:2394-2424, :2439-2472);
+                # uniform radii (the default) share mask + (1-q) across families
+                m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
+                norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+                q_p = rij * (1.0 / ks.radius_p)
+                omq_p = 1.0 - q_p
+                dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
+                coeff_pp = (pp_i + pp_j) * dwp * volume
+                radial = jnp.where(m_p & ~rs, coeff_pp, 0.0)
+                radial = radial + jnp.where(m_p & rs & ~ss, coeff_pp, 0.0)
 
-            # diffuse interface, two terms (:2261-2312); a_j uses CofA[prop_i];
-            # exactly zero without surface tension (a_i = CofA = 0)
-            if cfg.surface_tension:
+                # pressureA (:2225-2258); exactly zero without surface tension
+                if cfg.surface_tension:
+                    if cfg.uniform_radii:
+                        m_a, q_a, omq_a = m_p, q_p, omq_p
+                    else:
+                        m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+                        q_a = rij * (1.0 / ks.radius_a)
+                        omq_a = 1.0 - q_a
+                    dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                        * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
+                    coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
+                    radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
+
+                # viscosity (:2478-2522)
                 if cfg.uniform_radii:
-                    m_g, omq_g = m_p, omq_p
+                    m_v, omq_v = m_p, omq_p
                 else:
-                    m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
-                    omq_g = 1.0 - rij * (1.0 / ks.radius_g)
-                norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
-                wgv = norm_g * (omq_g * omq_g)
-                dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
-                wij = ratio_ij * wgv
-                wji = ratio_ji * wgv
-                dwij = ratio_ij * dwg
-                dwji = ratio_ji * dwg
-                gcx_j = wt[5][None, :]
-                gcy_j = wt[6][None, :]
-                mdi = m_g & ~rs
-                t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
-                t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
-                gr_sum = (
-                    (gcx_j * dwji - gci[0] * dwij) * g["xij"][0]
-                    + (gcy_j * dwji - gci[1] * dwij) * g["xij"][1]
-                )
+                    m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+                    omq_v = 1.0 - rij * (1.0 / ks.radius_v)
+                ux = wt[9][None, :] - rec[:, 9][:, None]
+                uy = wt[10][None, :] - rec[:, 10][:, None]
+                udote = ux * ex + uy * ey
                 if not cfg.planar:
-                    gcz_j = wt[7][None, :]
-                    t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
-                    gr_sum = gr_sum + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
-                gr = a_i * gr_sum
-                fx = fx - jnp.sum(jnp.where(mdi, t1x + gr * ex * scale_di, 0.0),
-                                  axis=1)
-                fy = fy - jnp.sum(jnp.where(mdi, t1y + gr * ey * scale_di, 0.0),
-                                  axis=1)
+                    uz = wt[11][None, :] - rec[:, 11][:, None]
+                    udote = udote + uz * ez
+                mu_den = mu_i + mu_j
+                mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
+                                 / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
+                dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+                    * (-2.0 / ks.radius_v) * omq_v
+                coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
+                radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
+
+                fx = fx + jnp.sum(radial * ex, axis=1)
+                fy = fy + jnp.sum(radial * ey, axis=1)
                 if not cfg.planar:
-                    fz = fz - jnp.sum(
-                        jnp.where(mdi, t1z + gr * ez * scale_di, 0.0), axis=1)
-            return (fx, fy, fz)
+                    fz = fz + jnp.sum(radial * ez, axis=1)
 
-        accs = jax.lax.fori_loop(0, nch, body, accs)
+                # diffuse interface, two terms (:2261-2312); a_j uses CofA[prop_i];
+                # exactly zero without surface tension (a_i = CofA = 0)
+                if cfg.surface_tension:
+                    if cfg.uniform_radii:
+                        m_g, omq_g = m_p, omq_p
+                    else:
+                        m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+                        omq_g = 1.0 - rij * (1.0 / ks.radius_g)
+                    norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+                    wgv = norm_g * (omq_g * omq_g)
+                    dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
+                    wij = ratio_ij * wgv
+                    wji = ratio_ji * wgv
+                    dwij = ratio_ij * dwg
+                    dwji = ratio_ji * dwg
+                    gcx_j = wt[5][None, :]
+                    gcy_j = wt[6][None, :]
+                    mdi = m_g & ~rs
+                    t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
+                    t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
+                    gr_sum = (
+                        (gcx_j * dwji - gci[0] * dwij) * g["xij"][0]
+                        + (gcy_j * dwji - gci[1] * dwij) * g["xij"][1]
+                    )
+                    if not cfg.planar:
+                        gcz_j = wt[7][None, :]
+                        t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
+                        gr_sum = gr_sum + (gcz_j * dwji - gci[2] * dwij) * g["xij"][2]
+                    gr = a_i * gr_sum
+                    fx = fx - jnp.sum(jnp.where(mdi, t1x + gr * ex * scale_di, 0.0),
+                                      axis=1)
+                    fy = fy - jnp.sum(jnp.where(mdi, t1y + gr * ey * scale_di, 0.0),
+                                      axis=1)
+                    if not cfg.planar:
+                        fz = fz - jnp.sum(
+                            jnp.where(mdi, t1z + gr * ez * scale_di, 0.0), axis=1)
+                return (fx, fy, fz)
 
-    fx, fy, fz = accs
-    zeros = jnp.zeros((bsz,), dtype)
-    out_ref[:] = jnp.stack(
-        [fx, fy, fz, zeros, zeros, zeros, zeros, zeros], axis=1)
+            accs = jax.lax.fori_loop(0, nch, body, accs)
+
+        fx, fy, fz = accs
+        zeros = jnp.zeros((bsz,), dtype)
+        out_ref[i * bsz:(i + 1) * bsz] = jnp.stack(
+            [fx, fy, fz, zeros, zeros, zeros, zeros, zeros], axis=1)
 
 
-# ---------------------------------------------------------------------------
-# drivers
-# ---------------------------------------------------------------------------
+    # ---------------------------------------------------------------------------
+    # drivers
+    # ---------------------------------------------------------------------------
+
+
+def _pick_sub(n: int, cfg: PallasConfig) -> int:
+    """Sub-blocks per grid program: the largest power of two <= the
+    configured request that divides the block count."""
+    nblocks = n // cfg.block
+    s = 1
+    while (s * 2 <= cfg.subblocks and nblocks % (s * 2) == 0):
+        s *= 2
+    return s
+
 
 def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
                   cfg: PallasConfig, w: int, *, interpret: bool,
-                  out_w: int = 8):
-    """Launch a phase kernel over all receiver blocks."""
+                  out_w: int = 8, sub: int = 1):
+    """Launch a phase kernel over all receiver blocks (``sub`` consecutive
+    sub-blocks per grid program; the kernel must be specialized to match)."""
     n = packed.shape[0] - cfg.wmax  # padded tail
-    nblocks = n // cfg.block
+    nblocks = n // cfg.block // sub
     dtype = packed.dtype
     # window starts ride in per-block SMEM rows (scalar-prefetching the
     # whole [nblocks, n_off] table overflows the 1 MB SMEM at large grids)
@@ -510,10 +537,10 @@ def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((cfg.block, w), lambda b, *_: (b, 0)),
+            pl.BlockSpec((cfg.block * sub, w), lambda b, *_: (b, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((cfg.block, out_w), lambda b, *_: (b, 0)),
+        out_specs=pl.BlockSpec((cfg.block * sub, out_w), lambda b, *_: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_off, 2, cfg.wmax, w), dtype),  # double-buffered
             pltpu.SemaphoreType.DMA((n_off, 2)),
@@ -554,11 +581,12 @@ def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
 
     win_start, win_len = compute_windows(frame, grid, cfg)
     offs, offs_yz = row_offsets(grid)
+    sub = _pick_sub(n, cfg)
     kern = functools.partial(
-        _phase1_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz
+        _phase1_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz, sub=sub
     )
     out = _pallas_sweep(kern, packed1, win_start, win_len, len(offs), cfg,
-                        P1_W, interpret=interpret)
+                        P1_W, interpret=interpret, sub=sub)
 
     da = out[:, 0]
     gc = out[:, 1:4]
@@ -613,19 +641,20 @@ def phase2_forces_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
     packed2 = _pack_phase2(frame, fields, tables, cfg)
     win_start, win_len = compute_windows(frame, grid, cfg)
     offs, offs_yz = row_offsets(grid)
+    sub = _pick_sub(frame.pos.shape[0], cfg)
     kern = functools.partial(
         _phase2_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz,
-        volume=volume, two_dimensional=two_dimensional,
+        volume=volume, two_dimensional=two_dimensional, sub=sub,
     )
     out = _pallas_sweep(kern, packed2, win_start, win_len, len(offs), cfg,
-                        P2_W, interpret=interpret)
+                        P2_W, interpret=interpret, sub=sub)
     return out[:, 0:3]
 
 
 def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
                    win_scratch, sems, *, grid: CellGrid, ks: KernelSet,
                    cfg: PallasConfig, offs_yz, volume: float,
-                   two_dimensional: bool):
+                   two_dimensional: bool, sub: int = 1):
     """Virial stress sweep (calculateVirialStressAtParticle,
     src/main.cpp:3077-3318): re-derives the pairwise force families weighted
     by the RECEIVER's pressure only (P_i, not Pi+Pj; viscosity half-weighted)
@@ -633,148 +662,153 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     as phase 2; 9 accumulators -> out lanes [0:9] (times 1/V applied by the
     driver).  Mirrors packed_engine.packed_virial exactly."""
     n_off = len(offs_yz)
-    b = pl.program_id(0)
+    bp = pl.program_id(0)
 
-    rec = rec_ref[:]  # [B, P2_W]
-    dtype = rec.dtype
-    bsz = rec.shape[0]
+    rec_all = rec_ref[:]  # [B, P2_W]
+    dtype = rec_all.dtype
+    bsz = rec_all.shape[0] // sub
+    # one grid step handles `sub` consecutive receiver sub-blocks to
+    # amortize the ~1.6 us per-grid-step Mosaic overhead
+    for i in range(sub):
+        b = bp * sub + i
+        rec = rec_all[i * bsz:(i + 1) * bsz]
 
-    id_i = rec[:, 13][:, None]
-    pp_i = rec[:, 3][:, None]
-    pa_i = rec[:, 4][:, None]
-    gci = (rec[:, 5][:, None], rec[:, 6][:, None], rec[:, 7][:, None])
-    mu_i = rec[:, 8][:, None]
-    a_i = rec[:, 14][:, None] * (ks.cof_k * ks.cof_k)
+        id_i = rec[:, 13][:, None]
+        pp_i = rec[:, 3][:, None]
+        pa_i = rec[:, 4][:, None]
+        gci = (rec[:, 5][:, None], rec[:, 6][:, None], rec[:, 7][:, None])
+        mu_i = rec[:, 8][:, None]
+        a_i = rec[:, 14][:, None] * (ks.cof_k * ks.cof_k)
 
-    c_v = 8.0 if two_dimensional else 10.0
-    scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+        c_v = 8.0 if two_dimensional else 10.0
+        scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
 
-    def chunk_copy(o, k, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
-            win_scratch.at[o, slot],
-            sems.at[o, slot],
-        )
+        def chunk_copy(o, k, slot):
+            return pltpu.make_async_copy(
+                packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+                win_scratch.at[o, slot],
+                sems.at[o, slot],
+            )
 
-    for o in range(n_off):
-        chunk_copy(o, 0, 0).start()
+        for o in range(n_off):
+            chunk_copy(o, 0, 0).start()
 
-    accs = tuple(jnp.zeros((bsz,), dtype) for _ in range(9))
-    for o in range(n_off):
-        # at least one chunk (see _phase1_kernel: semaphore balance)
-        nch = jnp.maximum(
-            jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
-                        jnp.int32(cfg.wmax)),
-            jnp.int32(1),
-        )
+        accs = tuple(jnp.zeros((bsz,), dtype) for _ in range(9))
+        for o in range(n_off):
+            # at least one chunk (see _phase1_kernel: semaphore balance)
+            nch = jnp.maximum(
+                jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                            jnp.int32(cfg.wmax)),
+                jnp.int32(1),
+            )
 
-        def body(k, accs, o=o):
-            slot = jax.lax.rem(k, jnp.int32(2))
-            chunk_copy(o, k, slot).wait()
+            def body(k, accs, o=o):
+                slot = jax.lax.rem(k, jnp.int32(2))
+                chunk_copy(o, k, slot).wait()
 
-            @pl.when(k + 1 < nch)
-            def _():
-                chunk_copy(o, k + 1, 1 - slot).start()
+                @pl.when(k + 1 < nch)
+                def _():
+                    chunk_copy(o, k + 1, 1 - slot).start()
 
-            # live lanes only (27 of 128); see _phase1_kernel comment
-            wt = win_scratch[o, slot][:, :32].T  # [32, WMAX]
-            g = _edge_mask_and_geometry(rec, wt, grid=grid,
-                                        off_yz=offs_yz[o], dtype=dtype,
-                                        planar=cfg.planar)
-            id_j = wt[13][None, :]
-            valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
-            valid = valid & (g["rij2"] <= grid.support * grid.support)
-            r2s = jnp.where(valid, g["rij2"], 1.0)
-            inv_r = jax.lax.rsqrt(r2s)  # one rsqrt replaces sqrt + divide
-            rij = r2s * inv_r
-            ndim = 2 if cfg.planar else 3
-            eij = tuple(g["xij"][a] * inv_r for a in range(ndim))
+                # live lanes only (27 of 128); see _phase1_kernel comment
+                wt = win_scratch[o, slot][:, :32].T  # [32, WMAX]
+                g = _edge_mask_and_geometry(rec, wt, grid=grid,
+                                            off_yz=offs_yz[o], dtype=dtype,
+                                            planar=cfg.planar)
+                id_j = wt[13][None, :]
+                valid = g["ring"] & (id_j >= 0) & (id_j != id_i) & (g["rij2"] > 0)
+                valid = valid & (g["rij2"] <= grid.support * grid.support)
+                r2s = jnp.where(valid, g["rij2"], 1.0)
+                inv_r = jax.lax.rsqrt(r2s)  # one rsqrt replaces sqrt + divide
+                rij = r2s * inv_r
+                ndim = 2 if cfg.planar else 3
+                eij = tuple(g["xij"][a] * inv_r for a in range(ndim))
 
-            if cfg.uniform_ratio:
-                ratio_ij = 1.0
-            else:
-                prop_j = wt[12][None, :]
-                ratio_ij = jnp.zeros_like(rij)
-                for t in range(TYPE_COUNT):
-                    ratio_ij = ratio_ij + jnp.where(
-                        prop_j == float(t), rec[:, 15 + t][:, None], 0.0)
-
-            # pressureP family: receiver pressure only (:3106-3140)
-            m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
-            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-            q_p = rij * (1.0 / ks.radius_p)
-            omq_p = 1.0 - q_p
-            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
-            coeff = jnp.where(m_p, pp_i * dwp * volume, 0.0)
-
-            if cfg.surface_tension:
-                # pressureA family (:3143-3180)
-                if cfg.uniform_radii:
-                    m_a, q_a, omq_a = m_p, q_p, omq_p
+                if cfg.uniform_ratio:
+                    ratio_ij = 1.0
                 else:
-                    m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
-                    q_a = rij * (1.0 / ks.radius_a)
-                    omq_a = 1.0 - q_a
-                dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-                    * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
-                coeff = coeff + jnp.where(
-                    m_a, pa_i * ratio_ij * dwa * volume, 0.0)
+                    prop_j = wt[12][None, :]
+                    ratio_ij = jnp.zeros_like(rij)
+                    for t in range(TYPE_COUNT):
+                        ratio_ij = ratio_ij + jnp.where(
+                            prop_j == float(t), rec[:, 15 + t][:, None], 0.0)
 
-            # viscosity, half-weighted (:3221)
-            if cfg.uniform_radii:
-                m_v, omq_v = m_p, omq_p
-            else:
-                m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
-                omq_v = 1.0 - rij * (1.0 / ks.radius_v)
-            ux = wt[9][None, :] - rec[:, 9][:, None]
-            uy = wt[10][None, :] - rec[:, 10][:, None]
-            udote = ux * eij[0] + uy * eij[1]
-            if not cfg.planar:
-                uz = wt[11][None, :] - rec[:, 11][:, None]
-                udote = udote + uz * eij[2]
-            mu_j = wt[8][None, :]
-            mu_den = mu_i + mu_j
-            mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
-                             / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
-            dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
-                * (-2.0 / ks.radius_v) * omq_v
-            visc = c_v * mu_h * udote * (-dwv) * inv_r * volume
-            coeff = coeff + 0.5 * jnp.where(m_v, visc, 0.0)
+                # pressureP family: receiver pressure only (:3106-3140)
+                m_p = valid & (ks.radius_p**2 - g["rij2"] > 0)
+                norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+                q_p = rij * (1.0 / ks.radius_p)
+                omq_p = 1.0 - q_p
+                dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
+                coeff = jnp.where(m_p, pp_i * dwp * volume, 0.0)
 
-            # diffuse interface: radial 2nd term + along-gc_i 1st term
-            # (:3234-3301); exactly zero without surface tension
-            if cfg.surface_tension:
+                if cfg.surface_tension:
+                    # pressureA family (:3143-3180)
+                    if cfg.uniform_radii:
+                        m_a, q_a, omq_a = m_p, q_p, omq_p
+                    else:
+                        m_a = valid & (ks.radius_a**2 - g["rij2"] > 0)
+                        q_a = rij * (1.0 / ks.radius_a)
+                        omq_a = 1.0 - q_a
+                    dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                        * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
+                    coeff = coeff + jnp.where(
+                        m_a, pa_i * ratio_ij * dwa * volume, 0.0)
+
+                # viscosity, half-weighted (:3221)
                 if cfg.uniform_radii:
-                    m_g, omq_g = m_p, omq_p
+                    m_v, omq_v = m_p, omq_p
                 else:
-                    m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
-                    omq_g = 1.0 - rij * (1.0 / ks.radius_g)
-                norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
-                wgv = norm_g * (omq_g * omq_g)
-                dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
-                gr = -(gci[0] * g["xij"][0] + gci[1] * g["xij"][1])
+                    m_v = valid & (ks.radius_v**2 - g["rij2"] > 0)
+                    omq_v = 1.0 - rij * (1.0 / ks.radius_v)
+                ux = wt[9][None, :] - rec[:, 9][:, None]
+                uy = wt[10][None, :] - rec[:, 10][:, None]
+                udote = ux * eij[0] + uy * eij[1]
                 if not cfg.planar:
-                    gr = gr - gci[2] * g["xij"][2]
-                coeff = coeff + jnp.where(
-                    m_g, -a_i * gr * ratio_ij * dwg * scale_di, 0.0)
-                w_g1 = jnp.where(m_g, a_i * ratio_ij * wgv * scale_di, 0.0)
-            else:
-                w_g1 = None
+                    uz = wt[11][None, :] - rec[:, 11][:, None]
+                    udote = udote + uz * eij[2]
+                mu_j = wt[8][None, :]
+                mu_den = mu_i + mu_j
+                mu_h = jnp.where(mu_den > 0, 2.0 * mu_i * mu_j
+                                 / jnp.where(mu_den > 0, mu_den, 1.0), 0.0)
+                dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+                    * (-2.0 / ks.radius_v) * omq_v
+                visc = c_v * mu_h * udote * (-dwv) * inv_r * volume
+                coeff = coeff + 0.5 * jnp.where(m_v, visc, 0.0)
 
-            new = list(accs)
-            for a in range(ndim):
-                f_a = coeff * eij[a]
-                if w_g1 is not None:
-                    f_a = f_a + w_g1 * gci[a]
-                for bb in range(ndim):
-                    new[3 * a + bb] = (accs[3 * a + bb]
-                                       + jnp.sum(f_a * g["xij"][bb], axis=1))
-            return tuple(new)
+                # diffuse interface: radial 2nd term + along-gc_i 1st term
+                # (:3234-3301); exactly zero without surface tension
+                if cfg.surface_tension:
+                    if cfg.uniform_radii:
+                        m_g, omq_g = m_p, omq_p
+                    else:
+                        m_g = valid & (ks.radius_g**2 - g["rij2"] > 0)
+                        omq_g = 1.0 - rij * (1.0 / ks.radius_g)
+                    norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+                    wgv = norm_g * (omq_g * omq_g)
+                    dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
+                    gr = -(gci[0] * g["xij"][0] + gci[1] * g["xij"][1])
+                    if not cfg.planar:
+                        gr = gr - gci[2] * g["xij"][2]
+                    coeff = coeff + jnp.where(
+                        m_g, -a_i * gr * ratio_ij * dwg * scale_di, 0.0)
+                    w_g1 = jnp.where(m_g, a_i * ratio_ij * wgv * scale_di, 0.0)
+                else:
+                    w_g1 = None
 
-        accs = jax.lax.fori_loop(0, nch, body, accs)
+                new = list(accs)
+                for a in range(ndim):
+                    f_a = coeff * eij[a]
+                    if w_g1 is not None:
+                        f_a = f_a + w_g1 * gci[a]
+                    for bb in range(ndim):
+                        new[3 * a + bb] = (accs[3 * a + bb]
+                                           + jnp.sum(f_a * g["xij"][bb], axis=1))
+                return tuple(new)
 
-    out_ref[:] = jnp.stack(
-        list(accs) + [jnp.zeros((bsz,), dtype)] * 7, axis=1)
+            accs = jax.lax.fori_loop(0, nch, body, accs)
+
+        out_ref[i * bsz:(i + 1) * bsz] = jnp.stack(
+            list(accs) + [jnp.zeros((bsz,), dtype)] * 7, axis=1)
 
 
 def virial_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
@@ -787,12 +821,13 @@ def virial_pallas(frame: SortedFrame, fields: dict, grid: CellGrid,
     packed2 = _pack_phase2(frame, fields, tables, cfg)
     win_start, win_len = compute_windows(frame, grid, cfg)
     offs, offs_yz = row_offsets(grid)
+    sub = _pick_sub(frame.pos.shape[0], cfg)
     kern = functools.partial(
         _virial_kernel, grid=grid, ks=ks, cfg=cfg, offs_yz=offs_yz,
-        volume=volume, two_dimensional=two_dimensional,
+        volume=volume, two_dimensional=two_dimensional, sub=sub,
     )
     out = _pallas_sweep(kern, packed2, win_start, win_len, len(offs), cfg,
-                        P2_W, out_w=16, interpret=interpret)
+                        P2_W, out_w=16, interpret=interpret, sub=sub)
     stress = out[:, :9].T / volume  # [9, N]
     d = 2.0 if two_dimensional else 3.0
     tr = stress[0] + stress[4] + (0.0 if two_dimensional else stress[8])
