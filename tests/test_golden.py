@@ -1,0 +1,105 @@
+"""Trajectory validation against goldens produced by the ACTUAL reference
+binary (g++ build of /root/reference/src/main.cpp; provenance in
+goldens/README.md).
+
+Unlike the oracle tests (tests/oracle_numpy.py shares this repo's reading of
+the reference), these goldens are an independent end-to-end check of the full
+step schedule (src/main.cpp:581-688).  Tolerances sit just above the `.prof`
+``%e`` 6-significant-digit format floor plus measured drift (BASELINE.md
+"Golden validation").
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pytest
+
+from particlemethod_fsi_tpu.config import NumericsConfig
+from particlemethod_fsi_tpu.solver import Simulation, load_case
+from particlemethod_fsi_tpu.state import to_numpy
+
+GOLD = "/root/repo/goldens"
+REF_DAM_GRID = "/root/reference/results/Dam/dam.grid"
+
+
+def load_golden(path):
+    with gzip.open(path, "rt") as f:
+        t = float(f.readline())
+        f.readline()
+        rows = np.loadtxt(f)
+    return t, rows
+
+
+def run_steps(data, grid, scene, n_steps, profile=False):
+    cfg, gd = load_case(
+        data, grid, scene=scene,
+        numerics=NumericsConfig(backend="packed", cell_capacity=12),
+    )
+    sim = Simulation(cfg, gd)
+    st = sim.state0
+    if profile:
+        st = sim.apply_initial_velocity_profile(st)
+    st = sim.run_chunk(st, n_steps)
+    return sim, to_numpy(st, sim.n)
+
+
+def test_dam_golden_100_steps():
+    """Pure-fluid dam break vs the reference binary after 100 steps
+    (results/Dam shipped case, t=0.01)."""
+    sim, out = run_steps(f"{GOLD}/dam/dam.data", REF_DAM_GRID, "dam", 100)
+    t, g = load_golden(f"{GOLD}/dam/dam100.prof.gz")
+    assert t == pytest.approx(0.01)
+    dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
+    dv = np.abs(out["vel"][:, :2] - g[:, 7:9]).max()
+    assert dp < 2.0e-6, f"position diff {dp:.3e} m vs golden"  # measured 5.0e-7
+    assert dv < 5.0e-4, f"velocity diff {dv:.3e} m/s vs golden"  # measured 4.9e-5
+
+
+def test_bar_golden_tip_trajectory():
+    """Bar first-mode excitation: tip displacement within 1% of the reference
+    binary's trajectory (the BASELINE.json acceptance criterion).  Measured
+    0.0004% over the 100-step window (0.0004% over all 460 usable steps)."""
+    cfg, gd = load_case(
+        f"{GOLD}/bar/bar.data", "/root/repo/cases/bar/bar.grid", scene="bar",
+        numerics=NumericsConfig(backend="packed", cell_capacity=12),
+    )
+    sim = Simulation(cfg, gd)
+    st = sim.apply_initial_velocity_profile(sim.state0)
+    x0 = np.asarray(gd.initial_position)
+    tip = int(np.argmax(x0[:, 0]))
+    gold = np.genfromtxt(f"{GOLD}/bar/tip_trajectory.csv", delimiter=",",
+                         names=True)
+    step = 0
+    errs = []
+    for t_g, uy_g in zip(gold["time"][:5], gold["uy"][:5]):  # through step 100
+        target = int(round(t_g / cfg.dt))
+        st = sim.run_chunk(st, target - step)
+        step = target
+        out = to_numpy(st, sim.n)
+        errs.append(abs((out["pos"][tip, 1] - x0[tip, 1]) - uy_g))
+    peak = np.abs(gold["uy"]).max()
+    assert max(errs) < 0.01 * peak, (
+        f"tip error {max(errs):.3e} m vs 1% of peak {peak:.3e} m")
+
+
+def test_gate_golden_100_steps():
+    """Coupled FSI (dam break on clamped elastic gate) vs the reference
+    binary after 100 steps."""
+    sim, out = run_steps(
+        f"{GOLD}/gate/gate.data", "/root/repo/cases/fsi_gate/gate.grid",
+        "dam", 100)
+    t, g = load_golden(f"{GOLD}/gate/gate100.prof.gz")
+    assert t == pytest.approx(0.01)
+    dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
+    assert dp < 2.0e-6, f"position diff {dp:.3e} m vs golden"  # measured 4.9e-7
+
+
+@pytest.mark.slow
+def test_dam_golden_1000_steps():
+    """Full committed horizon: 1,000 steps (t=0.1).  Measured 1.2e-5 m."""
+    sim, out = run_steps(f"{GOLD}/dam/dam.data", REF_DAM_GRID, "dam", 1000)
+    t, g = load_golden(f"{GOLD}/dam/dam1000.prof.gz")
+    dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
+    assert dp < 5.0e-5, f"position diff {dp:.3e} m vs golden"
