@@ -83,22 +83,25 @@ def _measure(n_side: int, backend: str):
 
 def main():
     import sys
+    import traceback
 
-    # prefer the pallas window-sweep backend, largest case that fits;
-    # degrade gracefully (backend fallback, smaller sizes) so the bench
-    # always reports a number
-    last_err = None
+    # prefer the pallas window-sweep backend at the DEFINED benchmark size
+    # (~1M particles: n_side=1000 -> 1000^2 fluid + bar + walls; the tracked
+    # metric is particle-steps/s/chip at 1M, BASELINE.json); degrade
+    # gracefully (backend fallback, smaller sizes) so the bench always
+    # reports a number, and RECORD why it degraded in the JSON itself
+    fallbacks = []
     for backend in ("pallas", "packed"):
-        for n_side in (700, 350, 150):
+        for n_side in (1000, 700, 350, 150):
             try:
                 n, step_s = _measure(n_side, backend)
             except Exception as e:  # OOM / compile failure -> degrade
-                last_err = e
-                print(f"# bench fallback: {backend}@{n_side} failed: "
-                      f"{type(e).__name__}", file=sys.stderr)
+                reason = f"{backend}@{n_side}: {type(e).__name__}: {e}"
+                fallbacks.append(reason.splitlines()[0][:200])
+                traceback.print_exc(file=sys.stderr)
                 continue
             value = n / step_s
-            print(json.dumps({
+            out = {
                 "metric": f"particle-steps/s/chip, {n}-particle 2-D "
                           f"dam-break FSI (coupled fluid+elastic bar), "
                           f"{backend} backend",
@@ -108,9 +111,12 @@ def main():
                 "step_ms": round(step_s * 1000, 3),
                 "particles": n,
                 "backend": backend,
-            }))
+            }
+            if fallbacks:
+                out["degraded_from"] = fallbacks
+            print(json.dumps(out))
             return
-    raise SystemExit(f"bench failed at all sizes/backends: {last_err}")
+    raise SystemExit(f"bench failed at all sizes/backends: {fallbacks}")
 
 
 if __name__ == "__main__":

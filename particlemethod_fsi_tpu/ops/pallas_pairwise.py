@@ -607,7 +607,6 @@ def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
         density_a=da, gravity_center=gc, vol_strain=vs, divergence=dvg,
         pressure_p=pp, pressure_a=pa, mu=mu,
         neighbor_count=out[:, 6].astype(jnp.int32),
-        cell_overflow=jnp.max(win_len),  # window-length proxy
         window_overflow=jnp.max(win_len),
     )
 

@@ -440,6 +440,15 @@ class Simulation:
                 volume=self.volume, two_dimensional=cfg.two_dimensional,
                 cfg=pcfg, interpret=self._pallas_interpret,
             )
+            # true max cell occupancy (the window sweep never consults a
+            # cell-capacity bound, but the metric must stay commensurate
+            # with the packed backend's cell_overflow; diagnostics cadence
+            # only, so the full searchsorted is fine)
+            cs = jnp.searchsorted(
+                frame.key, jnp.arange(self.cell_grid.num_cells + 1,
+                                      dtype=jnp.int32)
+            )
+            f1["cell_overflow"] = jnp.max(cs[1:] - cs[:-1])
         else:
             rv = pk.receivers_of(frame)
             f1 = pk.phase1_fields(frame, rv, self.cell_grid, self.kernels,

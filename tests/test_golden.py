@@ -24,6 +24,19 @@ GOLD = "/root/repo/goldens"
 REF_DAM_GRID = "/root/reference/results/Dam/dam.grid"
 
 
+def case_grid(case_dir, name):
+    """Path to cases/<case>/<name>.grid, generating it from the committed
+    .boid scene when absent (grids are build artifacts, not in git)."""
+    import os
+
+    path = f"/root/repo/cases/{case_dir}/{name}.grid"
+    if not os.path.exists(path):
+        from particlemethod_fsi_tpu.generator import generate_case
+
+        generate_case(f"/root/repo/cases/{case_dir}/{name}")
+    return path
+
+
 def load_golden(path):
     with gzip.open(path, "rt") as f:
         t = float(f.readline())
@@ -62,7 +75,7 @@ def test_bar_golden_tip_trajectory():
     binary's trajectory (the BASELINE.json acceptance criterion).  Measured
     0.0004% over the 100-step window (0.0004% over all 460 usable steps)."""
     cfg, gd = load_case(
-        f"{GOLD}/bar/bar.data", "/root/repo/cases/bar/bar.grid", scene="bar",
+        f"{GOLD}/bar/bar.data", case_grid("bar", "bar"), scene="bar",
         numerics=NumericsConfig(backend="packed", cell_capacity=12),
     )
     sim = Simulation(cfg, gd)
@@ -88,7 +101,7 @@ def test_gate_golden_100_steps():
     """Coupled FSI (dam break on clamped elastic gate) vs the reference
     binary after 100 steps."""
     sim, out = run_steps(
-        f"{GOLD}/gate/gate.data", "/root/repo/cases/fsi_gate/gate.grid",
+        f"{GOLD}/gate/gate.data", case_grid("fsi_gate", "gate"),
         "dam", 100)
     t, g = load_golden(f"{GOLD}/gate/gate100.prof.gz")
     assert t == pytest.approx(0.01)
