@@ -50,7 +50,8 @@ def build_parser():
     p.add_argument("--metrics", default=None, help="JSONL step-metrics path")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (default: environment)")
-    p.add_argument("--backend", default=None, choices=["auto", "pallas", "packed", "gather"],
+    p.add_argument("--backend", default=None,
+                   choices=["auto", "pallas_t", "pallas", "packed", "gather"],
                    help="pairwise engine backend")
     p.add_argument("--checkpoint", default=None,
                    help="binary checkpoint path pattern (e.g. ck%%03d.npz)")

@@ -143,11 +143,12 @@ class NumericsConfig:
 
     dtype: str = "float32"  # compute dtype: "float32" (TPU) or "float64" (CPU tests)
     # pairwise backend:
-    #   "auto"   = pallas on TPU, packed elsewhere
-    #   "pallas" = blockwise window-sweep Pallas kernels (fastest; requires
-    #              the no-wrap-pairs precondition, auto-falls-back otherwise)
-    #   "packed" = sorted packed-candidate XLA engine (no per-element gathers)
-    #   "gather" = portable [N,K] index-matrix engine (CPU/golden tests)
+    #   "auto"     = pallas_t on TPU, packed elsewhere
+    #   "pallas_t" = field-major window-sweep Pallas kernels (fastest;
+    #                no-wrap precondition + cell count < 2^24)
+    #   "pallas"   = round-1 row-major window-sweep Pallas kernels
+    #   "packed"   = sorted packed-candidate XLA engine (no per-element gathers)
+    #   "gather"   = portable [N,K] index-matrix engine (CPU/golden tests)
     backend: str = "auto"
     pallas_block: int = 128  # receivers per Pallas program
     pallas_wmax: int = 256  # window rows per cell-row offset

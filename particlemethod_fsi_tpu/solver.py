@@ -34,6 +34,7 @@ from particlemethod_fsi_tpu.ops import edge_math as em
 from particlemethod_fsi_tpu.ops import fluid as fl
 from particlemethod_fsi_tpu.ops import packed_engine as pk
 from particlemethod_fsi_tpu.ops import pallas_pairwise as pw
+from particlemethod_fsi_tpu.ops import pallas_windows_t as pwt
 from particlemethod_fsi_tpu.ops import solid as sl
 from particlemethod_fsi_tpu.ops import walls as wl
 from particlemethod_fsi_tpu.ops.neighbors import CellGrid, build_cell_grid, build_neighbor_list
@@ -122,8 +123,8 @@ class Simulation:
         self._backend = cfg.numerics.backend
         self._pallas_interpret = jax.default_backend() not in ("tpu",)
         if self._backend == "auto":
-            self._backend = "pallas" if not self._pallas_interpret else "packed"
-        if self._backend == "pallas" and not pw.check_no_wrap_pairs(
+            self._backend = "pallas_t" if not self._pallas_interpret else "packed"
+        if self._backend in ("pallas", "pallas_t") and not pw.check_no_wrap_pairs(
             self.cell_grid, grid.position, grid.prop >= 0,
             self.kernels.support_radius,
         ):
@@ -134,6 +135,10 @@ class Simulation:
                 "boundary; falling back to the packed backend"
             )
             self._backend = "packed"
+        if (self._backend == "pallas_t"
+                and self.cell_grid.num_cells >= (1 << 24)):
+            # cell keys ride as f32 lanes in the transposed layout
+            self._backend = "pallas"
 
         # compile-time pallas specialization, shared by step + diagnostics
         self._pcfg = pw.PallasConfig(
@@ -318,10 +323,25 @@ class Simulation:
     def _force(self, pos, vel, prop):
         """Total pairwise + body force, dispatched to the configured backend."""
         backend = self._backend
-        if backend in ("packed", "pallas"):
+        if backend in ("packed", "pallas", "pallas_t"):
             frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
                                   with_cell_start=(backend == "packed"))
-            if backend == "pallas":
+            if backend == "pallas_t":
+                pcfg = self._pcfg
+                windows = pw.compute_windows(frame, self.cell_grid, pcfg)
+                f1 = pwt.phase1_fields_pallas_t(
+                    frame, self.cell_grid, self.kernels, self.tables,
+                    cfg=pcfg, windows=windows,
+                    interpret=self._pallas_interpret,
+                )
+                force_s = pwt.phase2_forces_pallas_t(
+                    frame, f1, self.cell_grid, self.kernels, self.tables,
+                    volume=self.volume,
+                    two_dimensional=self.cfg.two_dimensional,
+                    cfg=pcfg, windows=windows,
+                    interpret=self._pallas_interpret,
+                )
+            elif backend == "pallas":
                 pcfg = self._pcfg
                 f1 = pw.phase1_fields_pallas(
                     frame, self.cell_grid, self.kernels, self.tables,
@@ -419,22 +439,37 @@ class Simulation:
         [9, N] -- and assembled host-side by :meth:`diagnostics`."""
         cfg = self.cfg
         prop, pos, vel = state.prop, state.pos, state.vel
-        frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
-                              with_cell_start=(self._backend != "pallas"))
-        if self._backend == "pallas":
+        frame = pk.sort_frame(
+            pos, vel, prop, self.cell_grid,
+            with_cell_start=self._backend not in ("pallas", "pallas_t"))
+        if self._backend in ("pallas", "pallas_t"):
             # route ALL heavy phases (incl. virial) through the window
             # kernels: the packed candidate graph compiles for minutes at
             # large N (301 s at 125k particles measured on v5e)
             pcfg = self._pcfg
-            f1 = pw.phase1_fields_pallas(
-                frame, self.cell_grid, self.kernels, self.tables,
-                cfg=pcfg, interpret=self._pallas_interpret,
-            )
-            force_s = pw.phase2_forces_pallas(
-                frame, f1, self.cell_grid, self.kernels, self.tables,
-                volume=self.volume, two_dimensional=cfg.two_dimensional,
-                cfg=pcfg, interpret=self._pallas_interpret,
-            )
+            if self._backend == "pallas_t":
+                windows = pw.compute_windows(frame, self.cell_grid, pcfg)
+                f1 = pwt.phase1_fields_pallas_t(
+                    frame, self.cell_grid, self.kernels, self.tables,
+                    cfg=pcfg, windows=windows, count=True,
+                    interpret=self._pallas_interpret,
+                )
+                force_s = pwt.phase2_forces_pallas_t(
+                    frame, f1, self.cell_grid, self.kernels, self.tables,
+                    volume=self.volume, two_dimensional=cfg.two_dimensional,
+                    cfg=pcfg, windows=windows,
+                    interpret=self._pallas_interpret,
+                )
+            else:
+                f1 = pw.phase1_fields_pallas(
+                    frame, self.cell_grid, self.kernels, self.tables,
+                    cfg=pcfg, interpret=self._pallas_interpret,
+                )
+                force_s = pw.phase2_forces_pallas(
+                    frame, f1, self.cell_grid, self.kernels, self.tables,
+                    volume=self.volume, two_dimensional=cfg.two_dimensional,
+                    cfg=pcfg, interpret=self._pallas_interpret,
+                )
             virial_s, vp_s = pw.virial_pallas(
                 frame, f1, self.cell_grid, self.kernels, self.tables,
                 volume=self.volume, two_dimensional=cfg.two_dimensional,
@@ -514,7 +549,7 @@ class Simulation:
     def _window_overflow(self, frame):
         """Max pallas window length (must stay <= pallas_wmax; longer windows
         silently drop pairs, so the CLI checks this every output)."""
-        if self._backend != "pallas":
+        if self._backend not in ("pallas", "pallas_t"):
             return jnp.asarray(0, dtype=jnp.int32)
         return jnp.max(
             pw.compute_windows(frame, self.cell_grid, self._pcfg)[1])

@@ -58,3 +58,35 @@ def test_pallas_backend_agrees():
                                   pallas_wmax=128).replace(**base), 6)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-16)
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-15)
+
+
+def test_pallas_t_backend_agrees_coupled():
+    """Field-major (transposed-layout) Pallas kernels vs the packed engine,
+    coupled FSI.  The v2 kernels hoist kernel norms out of the pair sums and
+    use the reciprocal harmonic-mean form, so parity is to f64 roundoff, not
+    bit-exact."""
+    grid = mini_fsi()
+    base = dict(scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+    a = run(grid, dam_like_config(backend="packed").replace(**base), 6)
+    b = run(grid, dam_like_config(backend="pallas_t", pallas_block=32,
+                                  pallas_wmax=128).replace(**base), 6)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
+
+
+def test_pallas_t_backend_agrees_surface_tension():
+    """pallas_t with surface tension + asymmetric interaction ratios
+    (exercises the receiver-extras input and the prop window lane)."""
+    grid = mini_dam()
+    ir = [[1.0] * 6 for _ in range(6)]
+    ir[1][4] = 0.5
+    ir[4][1] = 0.8
+    base = dict(
+        surface_tension=(0.05, 0.05, 0.0, 0.0, 0.05, 0.0),
+        interaction_ratio=tuple(tuple(r) for r in ir),
+    )
+    a = run(grid, dam_like_config(backend="packed").replace(**base), 5)
+    b = run(grid, dam_like_config(backend="pallas_t", pallas_block=32,
+                                  pallas_wmax=128).replace(**base), 5)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
