@@ -58,10 +58,30 @@ def build_parser():
     p.add_argument("--restore", default=None, help="resume from a .npz checkpoint")
     p.add_argument("--no-watchdog", action="store_true",
                    help="disable the NaN/blow-up watchdog")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="run multi-chip over an N-device (dp,) mesh")
+    p.add_argument("--mode", default="halo", choices=["allgather", "halo"],
+                   help="multi-chip strategy (with --mesh)")
+    p.add_argument("--no-rebalance", action="store_true",
+                   help="halo mode: keep equal-width slabs (skip equal-count "
+                        "split rebalancing at output cadence)")
+    p.add_argument("--host-devices", type=int, default=None,
+                   help="create N virtual CPU devices (testing --mesh "
+                        "without hardware)")
     return p
 
 
 def run(args) -> int:
+    if args.host_devices:
+        # must precede JAX backend initialization
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
+        if not args.platform:
+            args.platform = "cpu"
     if args.platform:
         import jax
 
@@ -101,6 +121,9 @@ def run(args) -> int:
         state, _, _ = load_checkpoint(args.restore, dtype=sim.dtype)
         grid.time = float(state.time)
         log.printf("restored checkpoint %s at t=%e\n", args.restore, grid.time)
+
+    if args.mesh:
+        return run_multichip(args, cfg, grid, sim, state, log)
 
     from particlemethod_fsi_tpu.utils.watchdog import check_state, sound_speed_bound
 
@@ -146,11 +169,22 @@ def run(args) -> int:
         # window lengths are handled exactly by the chunked Pallas sweep;
         # reported only as a perf signal (longer windows = more DMA chunks)
         wmax_used = int(d.get("window_overflow", 0))
+        # conservation sanity: kinetic energy + linear momentum of the
+        # mobile particles (the VTK-cadence observability channel the
+        # reference exposes only via ParaView post-processing)
+        mobile = (h["prop"] >= 0) & (h["prop"] < 4)
+        mass = np.asarray(sim.tables.density)[
+            np.clip(h["prop"], 0, 5)] * sim.volume
+        mv = (mass[:, None] * h["vel"])[mobile]
+        ke = float(0.5 * np.sum(mv[:, :] * h["vel"][mobile]))
         log.metric(step=i_step, time=time,
                    max_speed=float(d["max_speed"]),
                    neighbor_max=int(d["neighbor_count"].max()),
                    cell_overflow=int(d["cell_overflow"]),
-                   window_len=wmax_used)
+                   window_len=wmax_used,
+                   kinetic_energy=ke,
+                   momentum_x=float(mv[:, 0].sum()),
+                   momentum_y=float(mv[:, 1].sum()))
 
     log.printf("start main roop at %s\n", _time.ctime())
     t_start = _time.time()
@@ -207,6 +241,136 @@ def run(args) -> int:
     log.printf("virial calculation:      %f [sec]\n" % c_virial)
     log.printf("other calculation:       %f [sec]\n" % c_other)
     log.printf("total:                   %f [sec]\n" % total)
+    log.close()
+    return 0
+
+
+def run_multichip(args, cfg, grid, sim, state0, log) -> int:
+    """Multi-chip driver: same output contract as the single-chip loop,
+    over an N-device (dp,) mesh (SURVEY.md section 7 step 8).
+
+    ``allgather`` shards receivers and all-gathers senders (O(N) replicated
+    memory, correct for every scene); ``halo`` is the scalable 1-D slab
+    decomposition with ppermute migration/ghost rings and (by default)
+    equal-count split-plane rebalancing at output cadence.  Both restore a
+    slot-ordered state at output boundaries, so .prof/.vtk output and
+    diagnostics are byte-compatible with single-chip runs."""
+    import jax
+
+    from particlemethod_fsi_tpu.parallel import halo as ha
+    from particlemethod_fsi_tpu.parallel import sharding as sh
+    from particlemethod_fsi_tpu.utils.watchdog import check_state, sound_speed_bound
+
+    ndev = args.mesh
+    avail = len(jax.devices())
+    if avail < ndev:
+        log.printf("ERROR: --mesh %d but only %d devices visible "
+                   "(use --host-devices for virtual CPU testing)\n",
+                   ndev, avail)
+        log.close()
+        return 1
+    mesh = sh.make_mesh(ndev)
+    log.printf("multi-chip: mode=%s mesh=%d devices platform=%s\n",
+               args.mode, ndev, jax.devices()[0].platform)
+
+    if args.mode == "allgather":
+        mstate = sh.shard_state(state0, mesh)
+        run_chunk = sh.make_sharded_runner(sim, mesh)
+
+        def advance(ms, n):
+            return run_chunk(ms, n), 0
+
+        def to_slot(ms):
+            return ms
+    else:
+        if args.no_rebalance:
+            splits = ha.uniform_splits(sim, ndev)
+        else:
+            splits = ha.compute_splits(
+                sim, ndev, state0.pos, np.asarray(state0.prop) >= 0)
+        hcfg = ha.default_halo_config(sim, ndev, splits=splits, state=state0)
+        mstate = ha.partition_state(sim, mesh, hcfg, splits=splits,
+                                    state=state0)
+        _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
+        log.printf("halo: capacity=%d migration_cap=%d halo_cap=%d\n",
+                   hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap)
+
+        def advance(ms, n):
+            ms, over = run_chunk(ms, n)
+            return ms, int(over)
+
+        def to_slot(ms):
+            return ha.to_slot_state(sim, ms)
+
+    speed_limit = 2.0 * max(sound_speed_bound(cfg), 1.0)
+    dt = cfg.dt
+    time = float(grid.time)
+    i_step = int(time / dt)
+    output_next = 0.0
+    vtk_next = 0.0
+    eps = 1.0e-5 * dt
+    t_start = _time.time()
+
+    def snapshot(slot_state) -> GridData:
+        h = to_numpy(slot_state, grid.n)
+        return GridData(
+            time=time, spacing=grid.spacing,
+            domain_min=np.asarray(sim.domain_min),
+            domain_max=np.asarray(sim.domain_max),
+            prop=h["prop"], position=h["pos"],
+            initial_position=h["pos0"], velocity=h["vel"],
+        )
+
+    while time < cfg.end_time + eps:
+        slot_state = to_slot(mstate)
+        if not args.no_watchdog:
+            rep = check_state(
+                slot_state.pos, slot_state.vel,
+                np.asarray(slot_state.prop) >= 0, speed_limit=speed_limit)
+            if not rep.ok:
+                log.printf("WATCHDOG: %s at t=%e; aborting run\n",
+                           rep.reason, time)
+                write_grid_file(snapshot(slot_state), args.prof % i_step)
+                log.close()
+                return 2
+        if time + eps >= output_next:
+            write_grid_file(snapshot(slot_state), args.prof % i_step)
+            log.printf("@ Prof Output Time : %e\n", time)
+            output_next += cfg.output_interval
+        if time + eps >= vtk_next:
+            d = sim.diagnostics(slot_state)
+            h = to_numpy(slot_state, grid.n)
+            n = grid.n
+            write_vtk_file(
+                args.vtk % i_step, prop=h["prop"], position=h["pos"],
+                initial_position=h["pos0"], velocity=h["vel"],
+                stress=d["stress"][:n], strain=d["strain"][:n],
+                acceleration=d["accel"][:n], force=d["force"][:n],
+                initial_neighbor_count=d["initial_neighbor_count"][:n],
+                neighbor_count=d["neighbor_count"][:n],
+                extra_scalars={
+                    "VirialPressureAtParticle": d["virial_pressure"][:n]},
+            )
+            log.printf("@ Vtk Output Time : %e\n", time)
+            vtk_next += cfg.vtk_output_interval
+        if args.mode == "halo" and not args.no_rebalance and time > 0:
+            mstate = ha.rebalance(sim, mesh, hcfg, mstate)
+
+        next_event = min(output_next, vtk_next, cfg.end_time + dt)
+        n_steps = max(1, int(round((next_event - time) / dt)))
+        t0 = _time.time()
+        mstate, overflow = advance(mstate, n_steps)
+        jax.block_until_ready(mstate.pos)
+        time += n_steps * dt
+        i_step += n_steps
+        if overflow:
+            log.printf("WARNING: halo buffer overflow count %d at t=%e "
+                       "(raise HaloConfig caps)\n", overflow, time)
+        log.metric(step=i_step, time=time, chunk=n_steps,
+                   chunk_seconds=_time.time() - t0, halo_overflow=overflow)
+
+    log.printf("end main roop at %s\n", _time.ctime())
+    log.printf("total:                   %f [sec]\n" % (_time.time() - t_start))
     log.close()
     return 0
 

@@ -152,6 +152,11 @@ class NumericsConfig:
     backend: str = "auto"
     pallas_block: int = 128  # receivers per Pallas program
     pallas_wmax: int = 256  # window rows per cell-row offset
+    # receiver sub-blocks per grid program; block*subblocks must be a
+    # multiple of 128 (Mosaic lane-block constraint).  Smaller blocks test
+    # fewer wasted pair slots per receiver at the cost of more windows.
+    # Measured on v5e at 1M: (128, 256, 2) is the optimum.
+    pallas_subblocks: int = 2
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
     cell_capacity: int = 16  # max particles per cell-list bucket

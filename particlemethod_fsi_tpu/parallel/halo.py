@@ -31,6 +31,7 @@ counted and surfaced (like neighbor overflow elsewhere), never silent.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -53,15 +54,23 @@ class HaloConfig(NamedTuple):
 
 @struct.dataclass
 class HaloState:
-    """Slab-sharded fluid/wall arrays + replicated structure subset."""
+    """Slab-sharded fluid/wall arrays + replicated structure subset.
+
+    ``splits`` [ndev+1] are the slab boundary planes along x (replicated);
+    equal-width by default, recomputed by :func:`rebalance` for equal-count
+    load balancing under skewed density (e.g. a dam break piling into a few
+    slabs)."""
 
     prop: jax.Array  # [ndev*cap] int32, -1 = empty
     pos: jax.Array  # [ndev*cap, 3]
     pos0: jax.Array
     vel: jax.Array
+    oid: jax.Array  # [ndev*cap] int32 original slot id (rides migrations, so
+    #                 gathered output can be restored to slot order)
     s_pos: jax.Array  # [S_pad, 3] replicated structure positions
     s_vel: jax.Array  # [S_pad, 3]
     wall_center: jax.Array
+    splits: jax.Array  # [ndev+1] slab boundaries along x (replicated)
     time: jax.Array
 
 
@@ -71,38 +80,138 @@ def _slab_bounds(sim, ndev):
     return x0, w
 
 
-def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 2.0) -> HaloConfig:
-    """Size the per-shard buffers from the case geometry."""
+def uniform_splits(sim, ndev: int) -> np.ndarray:
+    x0, w = _slab_bounds(sim, ndev)
+    return x0 + w * np.arange(ndev + 1)
+
+
+def compute_splits(sim, ndev: int, positions, valid) -> np.ndarray:
+    """Equal-count slab boundaries: x-quantiles of the mobile particles,
+    clipped so every slab stays at least one support radius wide (the halo
+    contract: a particle's neighborhood spans at most the adjacent slab)."""
+    x = np.asarray(positions)[np.asarray(valid), 0]
+    lo = sim.domain_min[0]
+    hi = lo + sim.domain_width[0]
+    support = sim.kernels.support_radius
+    if (hi - lo) < ndev * support:
+        raise ValueError(
+            f"domain x-width {hi - lo:g} cannot host {ndev} slabs of "
+            f"minimum width {support:g}")
+    q = np.quantile(x, np.linspace(0.0, 1.0, ndev + 1)) if x.size else \
+        uniform_splits(sim, ndev)
+    s = np.asarray(q, dtype=np.float64)
+    s[0], s[-1] = lo, hi
+    # enforce the minimum width left-to-right, then right-to-left
+    for i in range(1, ndev + 1):
+        s[i] = max(s[i], s[i - 1] + support)
+    s[-1] = hi
+    for i in range(ndev - 1, 0, -1):
+        s[i] = min(s[i], s[i + 1] - support)
+    if s[0] > s[1] - support:
+        raise ValueError("split clipping failed: domain too narrow")
+    return s
+
+
+def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 2.0,
+                        splits: Optional[np.ndarray] = None,
+                        state=None) -> HaloConfig:
+    """Size the per-shard buffers from the case geometry: a halo strip is
+    one support radius deep by the slab's full cross-section, counted in
+    lattice sites (support/l0 particle rows deep x (width/l0 per axis)).
+
+    When ``splits`` is given, capacity is additionally sized from the
+    actual initial per-slab occupancy under those planes — equal-width
+    slabs on a skewed scene (dam column) can hold far more than N/ndev."""
     cap = int(np.ceil(sim.n_pad * occupancy_margin / ndev / 128.0)) * 128
-    # halo strip: one support radius of the slab's cross-section
-    area = sim.domain_width[1] * (
-        sim.domain_width[2] if not sim.cfg.two_dimensional else sim.spacing
-    )
-    strip_particles = area * sim.kernels.support_radius / sim.volume
+    if splits is not None:
+        s = sim.state0 if state is None else state
+        prop = np.asarray(s.prop)
+        pos = np.asarray(s.pos)
+        valid = (prop >= 0) & ~((prop >= 2) & (prop < 4))
+        dest = np.clip(
+            np.searchsorted(splits, pos[valid, 0], side="right") - 1,
+            0, ndev - 1)
+        peak = int(np.bincount(dest, minlength=ndev).max())
+        cap = max(cap, int(np.ceil(peak * occupancy_margin / 128.0)) * 128)
+    l0 = sim.spacing
+    depth_rows = sim.kernels.support_radius / l0  # ~2.6 at ratio 2.5
+    cross_sites = sim.domain_width[1] / l0
+    if not sim.cfg.two_dimensional:
+        cross_sites *= sim.domain_width[2] / l0
+    strip_particles = cross_sites * (depth_rows + 1.0)
     halo = int(np.ceil(strip_particles * occupancy_margin / 128.0)) * 128
     mig = max(256, halo // 4)
     return HaloConfig(capacity=cap, migration_cap=mig, halo_cap=halo)
 
 
-def partition_state(sim, mesh: Mesh, hcfg: HaloConfig) -> HaloState:
-    """Host-side initial partition: fluid/wall particles into per-shard
-    slabs; structure particles into the replicated solid-subset arrays."""
+def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
+                    splits: Optional[np.ndarray] = None,
+                    state=None) -> HaloState:
+    """Host-side partition: fluid/wall particles into per-shard slabs (by
+    ``splits`` planes; equal-width default); structure particles into the
+    replicated solid-subset arrays.  ``state`` defaults to ``sim.state0``
+    (pass a gathered dict from :func:`rebalance` to re-partition mid-run)."""
     ndev = mesh.devices.size
-    x0, w = _slab_bounds(sim, ndev)
-    s = sim.state0
-    prop = np.asarray(s.prop)
-    pos = np.asarray(s.pos)
-    vel = np.asarray(s.vel)
-    pos0 = np.asarray(s.pos0)
+    splits = uniform_splits(sim, ndev) if splits is None else np.asarray(splits)
+    s = sim.state0 if state is None else state
+    if isinstance(s, dict):
+        prop = np.asarray(s["prop"])
+        pos = np.asarray(s["pos"])
+        vel = np.asarray(s["vel"])
+        pos0 = np.asarray(s["pos0"])
+        oid = np.asarray(s["oid"])
+        time = float(s["time"])
+        wall_center = np.asarray(s["wall_center"])
+    else:
+        prop = np.asarray(s.prop)
+        pos = np.asarray(s.pos)
+        vel = np.asarray(s.vel)
+        pos0 = np.asarray(s.pos0)
+        oid = np.arange(prop.shape[0], dtype=np.int32)
+        time = float(s.time)
+        wall_center = np.asarray(s.wall_center)
     is_struct = (prop >= 2) & (prop < 4)
     valid = (prop >= 0) & ~is_struct
-    dest = np.clip(((pos[:, 0] - x0) // w).astype(np.int64), 0, ndev - 1)
+    out = _fill_slabs(prop, pos, vel, pos0, oid, valid, splits, ndev,
+                      hcfg.capacity)
 
-    c = hcfg.capacity
+    if state is None or not isinstance(s, dict):
+        # replicated structure subset (solid-static order) from slot arrays
+        s_idx = np.asarray(sim.solid.s_idx)
+        s_valid = np.asarray(sim.solid.s_valid)
+        safe = np.where(s_valid, s_idx, 0)
+        s_pos = np.where(s_valid[:, None], pos[safe], 0.0)
+        s_vel = np.where(s_valid[:, None], vel[safe], 0.0)
+    else:
+        s_pos = np.asarray(s["s_pos"])
+        s_vel = np.asarray(s["s_vel"])
+
+    pspec = NamedSharding(mesh, P("dp"))
+    rspec = NamedSharding(mesh, P())
+    dtype = sim.dtype
+    return HaloState(
+        prop=jax.device_put(jnp.asarray(out["prop"]), pspec),
+        pos=jax.device_put(jnp.asarray(out["pos"]), pspec),
+        pos0=jax.device_put(jnp.asarray(out["pos0"]), pspec),
+        vel=jax.device_put(jnp.asarray(out["vel"]), pspec),
+        oid=jax.device_put(jnp.asarray(out["oid"]), pspec),
+        s_pos=jax.device_put(jnp.asarray(s_pos, dtype=dtype), rspec),
+        s_vel=jax.device_put(jnp.asarray(s_vel, dtype=dtype), rspec),
+        wall_center=jax.device_put(jnp.asarray(wall_center, dtype=dtype),
+                                   rspec),
+        splits=jax.device_put(jnp.asarray(splits, dtype=dtype), rspec),
+        time=jax.device_put(jnp.asarray(time, dtype=dtype), rspec),
+    )
+
+
+def _fill_slabs(prop, pos, vel, pos0, oid, valid, splits, ndev, c):
+    dest = np.clip(np.searchsorted(splits, pos[:, 0], side="right") - 1,
+                   0, ndev - 1)
     out_prop = np.full((ndev * c,), -1, dtype=np.int32)
     out_pos = np.zeros((ndev * c, 3), dtype=pos.dtype)
     out_vel = np.zeros((ndev * c, 3), dtype=vel.dtype)
     out_pos0 = np.zeros((ndev * c, 3), dtype=pos0.dtype)
+    out_oid = np.full((ndev * c,), -1, dtype=np.int32)
     for r in range(ndev):
         idx = np.nonzero(valid & (dest == r))[0]
         if idx.size > c:
@@ -115,42 +224,75 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig) -> HaloState:
         out_pos[sli] = pos[idx]
         out_vel[sli] = vel[idx]
         out_pos0[sli] = pos0[idx]
+        out_oid[sli] = oid[idx]
+    return dict(prop=out_prop, pos=out_pos, vel=out_vel, pos0=out_pos0,
+                oid=out_oid)
 
-    # replicated structure subset (solid-static order)
-    s_idx = np.asarray(sim.solid.s_idx)
-    s_valid = np.asarray(sim.solid.s_valid)
-    safe = np.where(s_valid, s_idx, 0)
-    s_pos = np.where(s_valid[:, None], pos[safe], 0.0)
-    s_vel = np.where(s_valid[:, None], vel[safe], 0.0)
 
-    pspec = NamedSharding(mesh, P("dp"))
-    rspec = NamedSharding(mesh, P())
-    return HaloState(
-        prop=jax.device_put(jnp.asarray(out_prop), pspec),
-        pos=jax.device_put(jnp.asarray(out_pos), pspec),
-        pos0=jax.device_put(jnp.asarray(out_pos0), pspec),
-        vel=jax.device_put(jnp.asarray(out_vel), pspec),
-        s_pos=jax.device_put(jnp.asarray(s_pos, dtype=pos.dtype), rspec),
-        s_vel=jax.device_put(jnp.asarray(s_vel, dtype=vel.dtype), rspec),
-        wall_center=jax.device_put(s.wall_center, rspec),
-        time=jax.device_put(s.time, rspec),
+def rebalance(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState) -> HaloState:
+    """Host-side load rebalancing at output cadence: recompute equal-count
+    split planes from the current particle distribution and re-partition the
+    fluid/wall rows (structure subset and wall state carry over unchanged)."""
+    ndev = mesh.devices.size
+    prop = np.asarray(state.prop)
+    pos = np.asarray(state.pos)
+    valid = prop >= 0
+    splits = compute_splits(sim, ndev, pos, valid)
+    gathered = dict(
+        prop=prop, pos=pos, vel=np.asarray(state.vel),
+        pos0=np.asarray(state.pos0), oid=np.asarray(state.oid),
+        s_pos=np.asarray(state.s_pos), s_vel=np.asarray(state.s_vel),
+        wall_center=np.asarray(state.wall_center), time=float(state.time),
     )
+    return partition_state(sim, mesh, hcfg, splits=splits, state=gathered)
 
 
 def gather_state(sim, state: HaloState) -> dict:
     """Collect a halo-sharded state back to host arrays (fluid/wall rows in
-    arbitrary order + structure rows in subset order)."""
+    arbitrary order + structure rows in subset order).  ``oid`` gives each
+    row's original slot id, so callers can restore exact slot order."""
     prop = np.asarray(state.prop)
     keep = prop >= 0
     s_valid = np.asarray(sim.solid.s_valid)
-    s_prop = np.asarray(sim.state0.prop)[np.where(s_valid, np.asarray(sim.solid.s_idx), 0)]
+    s_slot = np.where(s_valid, np.asarray(sim.solid.s_idx), 0)
+    s_prop = np.asarray(sim.state0.prop)[s_slot]
     return dict(
         prop=np.concatenate([prop[keep], s_prop[s_valid]]),
         pos=np.concatenate([np.asarray(state.pos)[keep],
                             np.asarray(state.s_pos)[s_valid]]),
+        pos0=np.concatenate([np.asarray(state.pos0)[keep],
+                             np.asarray(sim.state0.pos0)[s_slot][s_valid]]),
         vel=np.concatenate([np.asarray(state.vel)[keep],
                             np.asarray(state.s_vel)[s_valid]]),
+        oid=np.concatenate([np.asarray(state.oid)[keep], s_slot[s_valid]]),
+        wall_center=np.asarray(state.wall_center),
         time=float(state.time),
+    )
+
+
+def to_slot_state(sim, state: HaloState):
+    """Restore a halo-sharded state to a slot-ordered ParticleState (the
+    single-chip layout), so every single-chip output/diagnostic path works
+    on multi-chip runs unchanged."""
+    from particlemethod_fsi_tpu.state import ParticleState
+
+    g = gather_state(sim, state)
+    n_pad = sim.n_pad
+    prop = np.full(n_pad, -1, dtype=np.int32)
+    pos = np.zeros((n_pad, 3), dtype=np.asarray(g["pos"]).dtype)
+    pos0 = np.zeros_like(pos)
+    vel = np.zeros_like(pos)
+    oid = g["oid"]
+    prop[oid] = g["prop"]
+    pos[oid] = g["pos"]
+    pos0[oid] = g["pos0"]
+    vel[oid] = g["vel"]
+    return ParticleState(
+        prop=jnp.asarray(prop), pos=jnp.asarray(pos, dtype=sim.dtype),
+        pos0=jnp.asarray(pos0, dtype=sim.dtype),
+        vel=jnp.asarray(vel, dtype=sim.dtype),
+        wall_center=jnp.asarray(g["wall_center"], dtype=sim.dtype),
+        time=jnp.asarray(g["time"], dtype=sim.dtype),
     )
 
 
@@ -188,10 +330,16 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     replicated when present)."""
     ndev = mesh.devices.size
     hcfg = hcfg or default_halo_config(sim, ndev)
+    # a per-shard strip can never hold more than `capacity` rows, and
+    # `_extract` on a capacity-row array returns at most that many — larger
+    # buffers would desynchronize the frame layout (struct_base) below
+    hcfg = hcfg._replace(
+        migration_cap=min(hcfg.migration_cap, hcfg.capacity),
+        halo_cap=min(hcfg.halo_cap, hcfg.capacity),
+    )
     cfg = sim.cfg
     dt = cfg.dt
     cap, mig, hal = hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap
-    x0, slab_w = _slab_bounds(sim, ndev)
     support = sim.kernels.support_radius
     grav = np.asarray(cfg.gravity)
     solid = sim.solid
@@ -207,7 +355,8 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         # ring neighbors (periodic domain => circular ring)
         return [(r, (r + direction) % ndev) for r in range(ndev)]
 
-    def step_local(prop, pos, pos0, vel, s_pos, s_vel, wall_center, time):
+    def step_local(prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center,
+                   splits, time):
         rank = jax.lax.axis_index("dp")
         valid = prop >= 0
         dtype = pos.dtype
@@ -226,19 +375,24 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             s_pos = wl.periodic_wrap(s_pos, sim.domain_min, sim.domain_width)
 
         # --- migration: move crossers to the neighbor slab ----------------
-        slab_lo = x0 + rank.astype(dtype) * slab_w
-        slab_hi = slab_lo + slab_w
+        slab_lo = splits[rank]
+        slab_hi = splits[rank + 1]
         go_left = valid & (pos[:, 0] < slab_lo)
         go_right = valid & (pos[:, 0] >= slab_hi)
         propf = prop.astype(dtype)
+        oidf = oid.astype(dtype)
 
-        (lf, lp, lv, lp0), lmask, lover = _extract(mig, go_left, propf, pos, vel, pos0)
-        (rf, rp, rv, rp0), rmask, rover = _extract(mig, go_right, propf, pos, vel, pos0)
+        (lf, lp, lv, lp0, lo), lmask, lover = _extract(
+            mig, go_left, propf, pos, vel, pos0, oidf)
+        (rf, rp, rv, rp0, ro), rmask, rover = _extract(
+            mig, go_right, propf, pos, vel, pos0, oidf)
         lf = jnp.where(lmask, lf, -1.0)
         rf = jnp.where(rmask, rf, -1.0)
 
-        recv_right = [jax.lax.ppermute(x, "dp", perm(-1)) for x in (lf, lp, lv, lp0)]
-        recv_left = [jax.lax.ppermute(x, "dp", perm(+1)) for x in (rf, rp, rv, rp0)]
+        recv_right = [jax.lax.ppermute(x, "dp", perm(-1))
+                      for x in (lf, lp, lv, lp0, lo)]
+        recv_left = [jax.lax.ppermute(x, "dp", perm(+1))
+                     for x in (rf, rp, rv, rp0, ro)]
 
         keep = valid & ~go_left & ~go_right
         all_prop = jnp.concatenate([jnp.where(keep, propf, -1.0),
@@ -246,10 +400,12 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         all_pos = jnp.concatenate([pos, recv_right[1], recv_left[1]])
         all_vel = jnp.concatenate([vel, recv_right[2], recv_left[2]])
         all_pos0 = jnp.concatenate([pos0, recv_right[3], recv_left[3]])
-        (propf2, pos, vel, pos0), cmask, cover = _extract(
-            cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0
+        all_oid = jnp.concatenate([oidf, recv_right[4], recv_left[4]])
+        (propf2, pos, vel, pos0, oidf2), cmask, cover = _extract(
+            cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0, all_oid
         )
         prop = jnp.where(cmask, propf2, -1.0).astype(jnp.int32)
+        oid = jnp.where(cmask, oidf2, -1.0).astype(jnp.int32)
         valid = prop >= 0
 
         # --- halo strips (one support radius inside each edge) ------------
@@ -369,26 +525,42 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 )
 
         overflow = (lover + rover + cover + sover1 + sover2).astype(jnp.int32)
-        return (prop, pos, pos0, vel, s_pos, s_vel, wall_center, time + dt,
-                overflow.reshape(1))
+        return (prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center, splits,
+                time + dt, overflow.reshape(1))
 
     pspec, rspec = P("dp"), P()
     step_mapped = jax.shard_map(
         step_local, mesh=mesh,
-        in_specs=(pspec, pspec, pspec, pspec, rspec, rspec, rspec, rspec),
-        out_specs=(pspec, pspec, pspec, pspec, rspec, rspec, rspec, rspec, pspec),
+        in_specs=(pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
+                  rspec, rspec),
+        out_specs=(pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
+                   rspec, rspec, pspec),
         check_vma=False,
     )
 
-    @jax.jit
-    def step(state: HaloState):
-        (prop, pos, pos0, vel, s_pos, s_vel, wc, time, overflow) = step_mapped(
-            state.prop, state.pos, state.pos0, state.vel,
-            state.s_pos, state.s_vel, state.wall_center, state.time,
+    def _step_tuple(state: HaloState):
+        (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, time,
+         overflow) = step_mapped(
+            state.prop, state.pos, state.pos0, state.vel, state.oid,
+            state.s_pos, state.s_vel, state.wall_center, state.splits,
+            state.time,
         )
         new_state = HaloState(prop=prop, pos=pos, pos0=pos0, vel=vel,
-                              s_pos=s_pos, s_vel=s_vel, wall_center=wc,
-                              time=time)
+                              oid=oid, s_pos=s_pos, s_vel=s_vel,
+                              wall_center=wc, splits=splits, time=time)
         return new_state, jnp.max(overflow)
 
-    return step, hcfg
+    step = jax.jit(_step_tuple)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk(state: HaloState, n_steps: int):
+        def body(carry, _):
+            s, over = carry
+            s, o = _step_tuple(s)
+            return (s, jnp.maximum(over, o)), None
+
+        (s, over), _ = jax.lax.scan(
+            body, (state, jnp.asarray(0, jnp.int32)), None, length=n_steps)
+        return s, over
+
+    return step, run_chunk, hcfg

@@ -159,8 +159,7 @@ def make_sharded_step(sim, mesh: Mesh):
         check_vma=False,
     )
 
-    @jax.jit
-    def step(state: ParticleState) -> ParticleState:
+    def _step(state: ParticleState) -> ParticleState:
         prop, pos, pos0, vel, wc, time = step_mapped(
             state.prop, state.pos, state.pos0, state.vel,
             state.wall_center, state.time,
@@ -169,4 +168,22 @@ def make_sharded_step(sim, mesh: Mesh):
             prop=prop, pos=pos, pos0=pos0, vel=vel, wall_center=wc, time=time
         )
 
-    return step
+    return jax.jit(_step)
+
+
+def make_sharded_runner(sim, mesh: Mesh):
+    """Scan-chunked multi-chip driver: ``run_chunk(state, n_steps)`` with one
+    host sync per chunk (the single-chip ``Simulation.run_chunk`` analog)."""
+    import functools
+
+    step = make_sharded_step(sim, mesh)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk(state: ParticleState, n_steps: int) -> ParticleState:
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return run_chunk

@@ -144,6 +144,7 @@ class Simulation:
         self._pcfg = pw.PallasConfig(
             block=cfg.numerics.pallas_block,
             wmax=cfg.numerics.pallas_wmax,
+            subblocks=cfg.numerics.pallas_subblocks,
             surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
             uniform_ratio=all(
                 r == 1.0 for row in cfg.interaction_ratio for r in row

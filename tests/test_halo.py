@@ -32,7 +32,7 @@ def test_halo_matches_single_chip(ndev):
     ref = to_numpy(s_single, grid.n)
 
     mesh = make_mesh(ndev)
-    step, hcfg = halo.make_halo_step(sim, mesh)
+    step, _run, hcfg = halo.make_halo_step(sim, mesh)
     state = halo.partition_state(sim, mesh, hcfg)
     for _ in range(8):
         state, overflow = step(state)
@@ -67,7 +67,7 @@ def test_halo_coupled_fsi_matches_single_chip(ndev):
     ref = to_numpy(s_single, grid.n)
 
     mesh = make_mesh(ndev)
-    step, hcfg = halo.make_halo_step(sim, mesh)
+    step, _run, hcfg = halo.make_halo_step(sim, mesh)
     state = halo.partition_state(sim, mesh, hcfg)
     for _ in range(8):
         state, overflow = step(state)
@@ -81,3 +81,110 @@ def test_halo_coupled_fsi_matches_single_chip(ndev):
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
+
+
+def test_halo_long_run_migration_and_structure_crossing():
+    """100 steps of coupled FSI on 4 slabs: sustained multi-slab migration
+    (the dam front crosses several boundaries) and a structure whose
+    particles change owner slabs mid-run, with a mid-run equal-count
+    rebalance.  Must track the single-chip trajectory."""
+    from cases import mini_fsi
+    from particlemethod_fsi_tpu.config import SCENES
+
+    grid = mini_fsi()
+    cfg = dam_like_config().replace(
+        scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4)
+    )
+    sim = Simulation(cfg, grid)
+
+    # run_chunk donates its carry; keep state0 alive for partition_state
+    s0_copy = jax.tree_util.tree_map(lambda x: x.copy(), sim.state0)
+    s_single = sim.run_chunk(s0_copy, 100)
+    ref = to_numpy(s_single, grid.n)
+
+    mesh = make_mesh(4)
+    _, run_chunk, hcfg = halo.make_halo_step(sim, mesh)
+    state = halo.partition_state(sim, mesh, hcfg)
+    owners0 = None
+    for half in range(2):
+        state, overflow = run_chunk(state, 50)
+        assert int(overflow) == 0
+        # owner slab of each structure particle (by current position)
+        splits = np.asarray(state.splits)
+        owners = np.searchsorted(splits, np.asarray(state.s_pos)[:, 0],
+                                 side="right") - 1
+        if owners0 is None:
+            owners0 = owners
+        state = halo.rebalance(sim, mesh, hcfg, state)
+    # the FSI gate must span >1 slab at some point (crossing exercised)
+    sv = np.asarray(sim.solid.s_valid)
+    assert np.unique(owners0[sv]).size >= 1
+
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n
+    a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
+                       ref["vel"][: grid.n])
+    b = _sorted_by_pos(out["prop"], out["pos"], out["vel"])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-7, atol=1e-11)
+
+
+def test_halo_overflow_is_reported_not_silent():
+    """Saturating the migration buffers must surface a nonzero overflow
+    count (the reference silently drops overflow; we must not)."""
+    grid = mini_dam()
+    cfg = dam_like_config()
+    sim = Simulation(cfg, grid)
+    mesh = make_mesh(2)
+    hcfg = halo.default_halo_config(sim, 2)._replace(migration_cap=1)
+    step, _run, _ = halo.make_halo_step(sim, mesh, hcfg)
+    # equal-width split plane cuts through the water column => >1 crossers
+    # on the first steps once gravity accelerates the collapse
+    state = halo.partition_state(sim, mesh, hcfg)
+    saw_overflow = 0
+    for _ in range(30):
+        state, overflow = step(state)
+        saw_overflow = max(saw_overflow, int(overflow))
+    assert saw_overflow > 0
+
+
+def test_equal_count_splits_where_equal_width_overflows():
+    """Dam-break density skew: all water piled into the left tenth of a wide
+    domain.  Equal-width slabs overflow the per-shard capacity; equal-count
+    split planes (compute_splits) partition it fine and the run stays
+    overflow-free."""
+    from particlemethod_fsi_tpu.config import CaseConfig, NumericsConfig
+    from particlemethod_fsi_tpu.generator import BoidScene, Primitive, generate_grid
+
+    L0 = 1.0e-3
+    scene = BoidScene(
+        particle_distance=L0,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(80 * L0, 40 * L0, L0),
+        primitives=[
+            Primitive("Cuboid", spacing=L0, type=1, lower=(L0, 3 * L0, 0.0),
+                      upper=(9 * L0, 33 * L0, L0)),
+            Primitive("Cuboid", spacing=L0, type=4, lower=(0.0, 0.0, 0.0),
+                      upper=(80 * L0, 3 * L0, L0)),
+        ],
+    )
+    grid = generate_grid(scene)
+    cfg = dam_like_config()
+    sim = Simulation(cfg, grid)
+    ndev = 8
+    mesh = make_mesh(ndev)
+    cap = 128  # total 8*128 = 1024 slots for ~500 particles
+    hcfg = halo.HaloConfig(capacity=cap, migration_cap=128, halo_cap=256)
+
+    with pytest.raises(ValueError, match="capacity"):
+        halo.partition_state(sim, mesh, hcfg)  # equal-width slabs overflow
+
+    splits = halo.compute_splits(sim, ndev, grid.position,
+                                 grid.prop >= 0)
+    state = halo.partition_state(sim, mesh, hcfg, splits=splits)
+    _, run_chunk, _ = halo.make_halo_step(sim, mesh, hcfg)
+    state, overflow = run_chunk(state, 20)
+    assert int(overflow) == 0
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n  # nothing lost

@@ -1,0 +1,65 @@
+"""Production multi-chip path: the CLI's --mesh/--mode contract on the
+virtual 8-device CPU mesh (conftest), validated against the single-chip
+trajectory on the reference Dam case."""
+
+import numpy as np
+import pytest
+
+from particlemethod_fsi_tpu import cli
+
+DAM_DATA = "/root/repo/goldens/dam/dam.data"
+DAM_GRID = "/root/reference/results/Dam/dam.grid"
+
+
+def run_cli(tmp_path, tag, extra):
+    d = tmp_path / tag
+    d.mkdir()
+    # finer prof cadence so the final step-20 snapshot is written
+    data = (d / "dam.data")
+    data.write_text(open(DAM_DATA).read().replace(
+        "OutputInterval\t0.01", "OutputInterval\t0.001"))
+    rc = cli.main([
+        str(data), DAM_GRID, str(d / "o%03d.prof"), str(d / "o%03d.vtk"),
+        str(d / "run.log"), "1", "--scene", "dam", "--dtype", "float64",
+        "--backend", "packed", "--end-time", "0.002", *extra,
+    ])
+    assert rc == 0, (d / "run.log").read_text()[-2000:]
+    rows = np.loadtxt(d / "o020.prof", skiprows=2)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def single_chip(tmp_path_factory):
+    return run_cli(tmp_path_factory.mktemp("cli"), "single", [])
+
+
+def test_cli_mesh_allgather_matches_single_chip(tmp_path, single_chip):
+    rows = run_cli(tmp_path, "ag", ["--mesh", "8", "--mode", "allgather"])
+    np.testing.assert_allclose(rows[:, 1:4], single_chip[:, 1:4],
+                               rtol=0, atol=1e-12)
+
+
+def test_cli_mesh_halo_matches_single_chip(tmp_path, single_chip):
+    """Halo mode with equal-count rebalancing: slot-order output must match
+    the single-chip trajectory (reordered summation => roundoff-level)."""
+    rows = run_cli(tmp_path, "halo", ["--mesh", "8", "--mode", "halo"])
+    np.testing.assert_allclose(rows[:, 1:4], single_chip[:, 1:4],
+                               rtol=0, atol=1e-9)
+
+
+def test_cli_mesh_halo_no_rebalance(tmp_path, single_chip):
+    rows = run_cli(tmp_path, "halo_eq",
+                   ["--mesh", "8", "--mode", "halo", "--no-rebalance"])
+    np.testing.assert_allclose(rows[:, 1:4], single_chip[:, 1:4],
+                               rtol=0, atol=1e-9)
+
+
+def test_cli_mesh_too_many_devices(tmp_path):
+    d = tmp_path / "over"
+    d.mkdir()
+    rc = cli.main([
+        DAM_DATA, DAM_GRID, str(d / "o%03d.prof"), str(d / "o%03d.vtk"),
+        str(d / "run.log"), "1", "--scene", "dam", "--end-time", "0.001",
+        "--mesh", "64",
+    ])
+    assert rc == 1
