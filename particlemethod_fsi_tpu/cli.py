@@ -47,6 +47,17 @@ def build_parser():
     p.add_argument("--end-time", type=float, default=None)
     p.add_argument("--apply-velocity-profile", action="store_true",
                    help="apply the scene's initial velocity profile at t=0")
+    p.add_argument("--no-double-substep", action="store_true",
+                   help="disable quirk Q1 (the reference's duplicated "
+                        "substep position update, src/main.cpp:2045-2079): "
+                        "restores a symplectic elastic substep, removing "
+                        "the slow energy growth that makes the reference's "
+                        "soft-bar case diverge")
+    p.add_argument("--bar-amplitude", type=float, default=None,
+                   help="override the bar first-mode excitation scale "
+                        "(reference hardcodes 0.01*c0, src/main.cpp:414; "
+                        "the shipped value diverges at t~0.047 in the "
+                        "reference itself -- see goldens/README.md)")
     p.add_argument("--metrics", default=None, help="JSONL step-metrics path")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (default: environment)")
@@ -100,6 +111,14 @@ def run(args) -> int:
             **{**cfg.numerics.__dict__, **numerics_updates}))
     if args.end_time is not None:
         cfg = cfg.replace(end_time=args.end_time)
+    import dataclasses
+
+    if args.bar_amplitude is not None:
+        cfg = cfg.replace(scene=dataclasses.replace(
+            cfg.scene, bar_amplitude=args.bar_amplitude))
+    if args.no_double_substep:
+        cfg = cfg.replace(compat=dataclasses.replace(
+            cfg.compat, double_substep_position_update=False))
 
     log.printf("start initialization at %s\n", _time.ctime())
     sim = Simulation(cfg, grid)

@@ -32,6 +32,7 @@ from particlemethod_fsi_tpu.config import CaseConfig
 from particlemethod_fsi_tpu.io.grid_file import GridData
 from particlemethod_fsi_tpu.ops import edge_math as em
 from particlemethod_fsi_tpu.ops import fluid as fl
+from particlemethod_fsi_tpu.ops import ghosts as gh
 from particlemethod_fsi_tpu.ops import packed_engine as pk
 from particlemethod_fsi_tpu.ops import pallas_pairwise as pw
 from particlemethod_fsi_tpu.ops import pallas_windows_t as pwt
@@ -117,26 +118,35 @@ class Simulation:
             self.domain_width, spatial_dim=cfg.spatial_dim, dtype=self.dtype,
         )
 
-        # pallas backend feasibility: windows are clipped, not wrapped, so no
-        # interacting pair may span the periodic boundary (see
-        # ops/pallas_pairwise.py); fall back to the packed engine otherwise
+        # pallas backend periodicity: windows are clipped, not wrapped, so a
+        # pair spanning the periodic boundary needs GHOST duplication of the
+        # boundary strips into an extended cell grid (ops/ghosts.py); the
+        # round-1 fallback to the 4.7x-slower packed engine is gone
         self._backend = cfg.numerics.backend
         self._pallas_interpret = jax.default_backend() not in ("tpu",)
         if self._backend == "auto":
             self._backend = "pallas_t" if not self._pallas_interpret else "packed"
-        if self._backend in ("pallas", "pallas_t") and not pw.check_no_wrap_pairs(
-            self.cell_grid, grid.position, grid.prop >= 0,
-            self.kernels.support_radius,
-        ):
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "pallas backend: particles interact across the periodic "
-                "boundary; falling back to the packed backend"
+        self._ghosts = None
+        if self._backend in ("pallas", "pallas_t"):
+            axes = gh.wrapped_axes(
+                self.cell_grid, grid.position, grid.prop >= 0,
+                self.kernels.support_radius, cfg.two_dimensional,
             )
-            self._backend = "packed"
+            if any(axes):
+                self._ghosts = gh.build_ghost_spec(
+                    self.cell_grid, axes, grid.position, grid.prop >= 0,
+                    self.kernels.support_radius,
+                )
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "pallas backend: periodic wrap on axes %s via %d ghost "
+                    "rows", axes, self._ghosts.total_capacity,
+                )
+        self._frame_grid = (self._ghosts.grid if self._ghosts is not None
+                            else self.cell_grid)
         if (self._backend == "pallas_t"
-                and self.cell_grid.num_cells >= (1 << 24)):
+                and self._frame_grid.num_cells >= (1 << 24)):
             # cell keys ride as f32 lanes in the transposed layout
             self._backend = "pallas"
 
@@ -321,46 +331,83 @@ class Simulation:
         )
         return force, fields
 
+    def _frame_inputs(self, pos, vel, prop):
+        """Frame-source arrays for the pallas backends: (pos, vel, prop,
+        ghost_src) -- identity + None, or the ghost-extended copies for
+        periodic scenes (ops/ghosts.py)."""
+        if self._ghosts is None:
+            return (pos, vel, prop), None
+        pos_e, vel_e, prop_e, src, _ = gh.extend_with_ghosts(
+            self._ghosts, self.cell_grid, pos, vel, prop, self.n_pad)
+        return (pos_e, vel_e, prop_e), src
+
+    def _propagate_ghost_fields(self, frame, f1, src):
+        """Overwrite ghost rows' phase-1 sender fields with their SOURCE
+        particles' values (a ghost's own sums are incomplete: its
+        neighborhood is clipped at the extended-domain edge).  mu needs no
+        fix (per-row from prop); without surface tension pa/gc are zero
+        everywhere, so only pressure_p must ride along."""
+        names = ["pressure_p"]
+        if self._pcfg.surface_tension:
+            names += ["pressure_a", "gravity_center"]
+        rows = pk.unsort(frame, *[f1[k] for k in names])
+        fixed = [jnp.concatenate([r[: self.n_pad], r[src]], axis=0)
+                 for r in rows]
+        resorted = pk.resort(frame, *fixed)
+        f1 = dict(f1)
+        for k, v in zip(names, resorted):
+            f1[k] = v
+        if "gc_rows" in f1 and self._pcfg.surface_tension:
+            f1["gc_rows"] = f1["gravity_center"].T
+        return f1
+
     def _force(self, pos, vel, prop):
         """Total pairwise + body force, dispatched to the configured backend."""
         backend = self._backend
         if backend in ("packed", "pallas", "pallas_t"):
-            frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
-                                  with_cell_start=(backend == "packed"))
-            if backend == "pallas_t":
-                pcfg = self._pcfg
-                windows = pw.compute_windows(frame, self.cell_grid, pcfg)
-                f1 = pwt.phase1_fields_pallas_t(
-                    frame, self.cell_grid, self.kernels, self.tables,
-                    cfg=pcfg, windows=windows,
-                    interpret=self._pallas_interpret,
-                )
-                force_s = pwt.phase2_forces_pallas_t(
-                    frame, f1, self.cell_grid, self.kernels, self.tables,
-                    volume=self.volume,
-                    two_dimensional=self.cfg.two_dimensional,
-                    cfg=pcfg, windows=windows,
-                    interpret=self._pallas_interpret,
-                )
-            elif backend == "pallas":
-                pcfg = self._pcfg
-                f1 = pw.phase1_fields_pallas(
-                    frame, self.cell_grid, self.kernels, self.tables,
-                    cfg=pcfg, interpret=self._pallas_interpret,
-                )
-                force_s = pw.phase2_forces_pallas(
-                    frame, f1, self.cell_grid, self.kernels, self.tables,
-                    volume=self.volume,
-                    two_dimensional=self.cfg.two_dimensional,
-                    cfg=pcfg, interpret=self._pallas_interpret,
-                )
-            else:
+            if backend == "packed":
+                frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
+                                      with_cell_start=True)
                 force_s, _ = pk.packed_fluid_forces(
                     frame, self.cell_grid, self.kernels, self.tables,
                     volume=self.volume,
                     two_dimensional=self.cfg.two_dimensional,
                     cap=self.cfg.numerics.cell_capacity,
                 )
+            else:
+                fgrid = self._frame_grid
+                finputs, gsrc = self._frame_inputs(pos, vel, prop)
+                frame = pk.sort_frame(*finputs, fgrid, with_cell_start=False)
+                pcfg = self._pcfg
+                if backend == "pallas_t":
+                    windows = pw.compute_windows(frame, fgrid, pcfg)
+                    f1 = pwt.phase1_fields_pallas_t(
+                        frame, fgrid, self.kernels, self.tables,
+                        cfg=pcfg, windows=windows,
+                        interpret=self._pallas_interpret,
+                    )
+                    if gsrc is not None:
+                        f1 = self._propagate_ghost_fields(frame, f1, gsrc)
+                    force_s = pwt.phase2_forces_pallas_t(
+                        frame, f1, fgrid, self.kernels, self.tables,
+                        volume=self.volume,
+                        two_dimensional=self.cfg.two_dimensional,
+                        cfg=pcfg, windows=windows,
+                        interpret=self._pallas_interpret,
+                    )
+                else:
+                    f1 = pw.phase1_fields_pallas(
+                        frame, fgrid, self.kernels, self.tables,
+                        cfg=pcfg, interpret=self._pallas_interpret,
+                    )
+                    if gsrc is not None:
+                        f1 = self._propagate_ghost_fields(frame, f1, gsrc)
+                    force_s = pw.phase2_forces_pallas(
+                        frame, f1, fgrid, self.kernels, self.tables,
+                        volume=self.volume,
+                        two_dimensional=self.cfg.two_dimensional,
+                        cfg=pcfg, interpret=self._pallas_interpret,
+                    )
             # gravity on fluid + structure, in sorted order
             sprop = frame.prop
             seg = Segments(sprop)
@@ -368,8 +415,10 @@ class Simulation:
             fs = seg.fluid | seg.structure
             grav = jnp.asarray(self.cfg.gravity, dtype=pos.dtype)
             force_s = force_s + jnp.where(fs[:, None], mass_s[:, None] * grav, 0.0)
+            # slot order; ghost rows (orig >= n_pad) sort to the tail and
+            # are dropped by the slice
             (force,) = pk.unsort(frame, force_s)
-            return force
+            return force[: self.n_pad]
         return self._fluid_phase(pos, vel, prop)[0]
 
     def _step(self, state: ParticleState) -> ParticleState:
@@ -440,39 +489,43 @@ class Simulation:
         [9, N] -- and assembled host-side by :meth:`diagnostics`."""
         cfg = self.cfg
         prop, pos, vel = state.prop, state.pos, state.vel
-        frame = pk.sort_frame(
-            pos, vel, prop, self.cell_grid,
-            with_cell_start=self._backend not in ("pallas", "pallas_t"))
         if self._backend in ("pallas", "pallas_t"):
             # route ALL heavy phases (incl. virial) through the window
             # kernels: the packed candidate graph compiles for minutes at
             # large N (301 s at 125k particles measured on v5e)
+            fgrid = self._frame_grid
+            finputs, gsrc = self._frame_inputs(pos, vel, prop)
+            frame = pk.sort_frame(*finputs, fgrid, with_cell_start=False)
             pcfg = self._pcfg
             if self._backend == "pallas_t":
-                windows = pw.compute_windows(frame, self.cell_grid, pcfg)
+                windows = pw.compute_windows(frame, fgrid, pcfg)
                 f1 = pwt.phase1_fields_pallas_t(
-                    frame, self.cell_grid, self.kernels, self.tables,
+                    frame, fgrid, self.kernels, self.tables,
                     cfg=pcfg, windows=windows, count=True,
                     interpret=self._pallas_interpret,
                 )
+                if gsrc is not None:
+                    f1 = self._propagate_ghost_fields(frame, f1, gsrc)
                 force_s = pwt.phase2_forces_pallas_t(
-                    frame, f1, self.cell_grid, self.kernels, self.tables,
+                    frame, f1, fgrid, self.kernels, self.tables,
                     volume=self.volume, two_dimensional=cfg.two_dimensional,
                     cfg=pcfg, windows=windows,
                     interpret=self._pallas_interpret,
                 )
             else:
                 f1 = pw.phase1_fields_pallas(
-                    frame, self.cell_grid, self.kernels, self.tables,
+                    frame, fgrid, self.kernels, self.tables,
                     cfg=pcfg, interpret=self._pallas_interpret,
                 )
+                if gsrc is not None:
+                    f1 = self._propagate_ghost_fields(frame, f1, gsrc)
                 force_s = pw.phase2_forces_pallas(
-                    frame, f1, self.cell_grid, self.kernels, self.tables,
+                    frame, f1, fgrid, self.kernels, self.tables,
                     volume=self.volume, two_dimensional=cfg.two_dimensional,
                     cfg=pcfg, interpret=self._pallas_interpret,
                 )
             virial_s, vp_s = pw.virial_pallas(
-                frame, f1, self.cell_grid, self.kernels, self.tables,
+                frame, f1, fgrid, self.kernels, self.tables,
                 volume=self.volume, two_dimensional=cfg.two_dimensional,
                 cfg=pcfg, interpret=self._pallas_interpret,
             )
@@ -481,11 +534,12 @@ class Simulation:
             # with the packed backend's cell_overflow; diagnostics cadence
             # only, so the full searchsorted is fine)
             cs = jnp.searchsorted(
-                frame.key, jnp.arange(self.cell_grid.num_cells + 1,
-                                      dtype=jnp.int32)
+                frame.key, jnp.arange(fgrid.num_cells + 1, dtype=jnp.int32)
             )
             f1["cell_overflow"] = jnp.max(cs[1:] - cs[:-1])
         else:
+            frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
+                                  with_cell_start=True)
             rv = pk.receivers_of(frame)
             f1 = pk.phase1_fields(frame, rv, self.cell_grid, self.kernels,
                                   self.tables, cap=cfg.numerics.cell_capacity)
@@ -503,7 +557,8 @@ class Simulation:
         # a 17-operand lax.sort unsort takes >4 minutes to COMPILE at 125k
         # particles (comparator-network blowup), while 17 row-gathers run in
         # ~ms -- the right trade at output time (per-row gather ~3.4ns)
-        inv = jnp.argsort(frame.orig)
+        # (ghost rows, if any, have orig >= n_pad: dropped by the slice)
+        inv = jnp.argsort(frame.orig)[: self.n_pad]
         (force, pp, pa, vs, da, dvg, gc, nbr_count, vp, *virial_rows) = [
             a[inv] for a in (
                 force_s, f1["pressure_p"], f1["pressure_a"],
@@ -553,7 +608,7 @@ class Simulation:
         if self._backend not in ("pallas", "pallas_t"):
             return jnp.asarray(0, dtype=jnp.int32)
         return jnp.max(
-            pw.compute_windows(frame, self.cell_grid, self._pcfg)[1])
+            pw.compute_windows(frame, self._frame_grid, self._pcfg)[1])
 
     def diagnostics(self, state: ParticleState) -> dict:
         """Device diagnostics + host-side tensor assembly (full [N,3,3]

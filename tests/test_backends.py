@@ -90,3 +90,43 @@ def test_pallas_t_backend_agrees_surface_tension():
                                   pallas_wmax=128).replace(**base), 5)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
+
+
+def test_pallas_t_periodic_ghosts():
+    """Fully periodic scene: the pallas_t backend must keep running (ghost
+    duplication, ops/ghosts.py) instead of falling back to packed, and must
+    reproduce the packed engine's minimum-image trajectories across the
+    boundary."""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+
+    rng = np.random.default_rng(3)
+    n_side = 12
+    grid = generate_grid(BoidScene(
+        particle_distance=1e-3,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(n_side * 1e-3, n_side * 1e-3, 1e-3),
+        primitives=[Primitive("Cuboid", spacing=1e-3, type=0,
+                              lower=(0, 0, 0),
+                              upper=(n_side * 1e-3, n_side * 1e-3, 1e-3))],
+    ))
+    grid.velocity[:, :2] = rng.normal(scale=0.05, size=(grid.n, 2))
+    base = dict(gravity=(0.0, 0.0, 0.0),
+                surface_tension=(0.01, 0.01, 0.0, 0.0, 0.01, 0.0))
+    a = run(grid, dam_like_config(backend="packed").replace(**base), 10)
+    cfg_p = dam_like_config(backend="pallas_t", pallas_block=32,
+                            pallas_wmax=128).replace(**base)
+    sim = Simulation(cfg_p, grid)
+    assert sim._backend == "pallas_t"  # no fallback
+    assert sim._ghosts is not None and sim._ghosts.total_capacity % 256 == 0
+    s = sim.state0
+    for _ in range(10):
+        s = sim.step(s)
+    b = to_numpy(s, grid.n)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
+    # diagnostics path (virial + neighbor counts) also runs ghost-extended
+    d = sim.diagnostics(s)
+    assert int(d["neighbor_count"].max()) >= 8
+    assert np.isfinite(np.asarray(d["virial_pressure"])).all()
