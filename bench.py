@@ -55,9 +55,13 @@ def build_case(n_side: int, backend: str = "packed", **numerics_kw):
         gravity=(0.0, -9.81, 0.0),
         scene=SCENES["dam"],
         # cap 12 covers compressed 2-D cells (~9 lattice sites + margin);
-        # B=128/WMAX=256 measured optimal on v5e at 256k-1M particles
+        # B=128/WMAX=256 measured optimal on v5e at 256k-1M particles.
+        # rebuild_margin=0.5 (C8 frame reuse, solver._force_cached) measured
+        # faster than rebuild-every-step in BOTH regimes at 1M: 59.6 vs
+        # 70.0 ms/step settling, 69.0 vs 69.9 developed flow (margin 1.0+
+        # loses in developed flow to wider cells; see ARCHITECTURE.md)
         numerics=NumericsConfig(backend=backend, cell_capacity=12,
-                                **numerics_kw),
+                                **{"rebuild_margin": 0.5, **numerics_kw}),
     )
     return Simulation(cfg, grid)
 
@@ -91,7 +95,7 @@ def main():
     # gracefully (backend fallback, smaller sizes) so the bench always
     # reports a number, and RECORD why it degraded in the JSON itself
     fallbacks = []
-    for backend in ("pallas", "packed"):
+    for backend in ("pallas_t", "pallas", "packed"):
         for n_side in (1000, 700, 350, 150):
             try:
                 n, step_s = _measure(n_side, backend)

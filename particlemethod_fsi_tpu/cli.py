@@ -64,6 +64,11 @@ def build_parser():
     p.add_argument("--backend", default=None,
                    choices=["auto", "pallas_t", "pallas", "packed", "gather"],
                    help="pairwise engine backend")
+    p.add_argument("--rebuild-margin", type=float, default=None,
+                   help="C8 knob: widen the candidate support by this many "
+                        "l0 and skip frame rebuilds while displacement < "
+                        "margin/2 (0 = reference behavior Q2: rebuild every "
+                        "step; src/main.cpp:1472-1494)")
     p.add_argument("--checkpoint", default=None,
                    help="binary checkpoint path pattern (e.g. ck%%03d.npz)")
     p.add_argument("--restore", default=None, help="resume from a .npz checkpoint")
@@ -106,6 +111,8 @@ def run(args) -> int:
         numerics_updates["dtype"] = args.dtype
     if args.backend:
         numerics_updates["backend"] = args.backend
+    if args.rebuild_margin is not None:
+        numerics_updates["rebuild_margin"] = args.rebuild_margin
     if numerics_updates:
         cfg = cfg.replace(numerics=cfg.numerics.__class__(
             **{**cfg.numerics.__dict__, **numerics_updates}))

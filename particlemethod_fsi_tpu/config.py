@@ -160,6 +160,15 @@ class NumericsConfig:
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
     cell_capacity: int = 16  # max particles per cell-list bucket
+    # C8 knob (the reference's disabled margin-refresh predicate,
+    # src/main.cpp:1472-1494, 608-610): 0.0 = rebuild the sorted frame +
+    # windows every step (quirk Q2, the shipped behavior).  > 0 widens the
+    # cell support by `rebuild_margin * l0` and reuses the previous sort
+    # permutation + window tables until any particle has moved more than
+    # half the margin since the last rebuild.  Physics is exact either way
+    # (family-radius masks test CURRENT positions; the margin only widens
+    # the candidate set); only the floating-point summation order differs.
+    rebuild_margin: float = 0.0
     steps_per_scan: int = 10  # lax.scan chunk length between host touchpoints
     n_pad: Optional[int] = None  # pad particle count to this (None: next mult of 256)
 

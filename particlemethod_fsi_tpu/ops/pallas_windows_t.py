@@ -90,17 +90,18 @@ class _Rec(NamedTuple):
     pid: jax.Array
 
 
-def _ring_and_geom(rec: _Rec, win, *, off: int, planar: bool, key_row: int,
-                   id_row: int):
-    """[B, W] pair mask (ring + id) and geometry from a field-major window.
+def _ring_and_geom(rec: _Rec, win, *, off: int, planar: bool, key_row: int):
+    """[B, W] pair ring mask and geometry from a field-major window.
 
     ring: the sender's sort key must be in {key_i + off - 1, ..., + 1} --
     exactly the 3-cell x-run of cell-row offset ``off`` used to build the
-    window (compute_windows).  Pads carry key = sentinel >> any live key and
-    id = -1."""
+    window (compute_windows).  The ring alone suffices as the validity
+    mask: pad rows carry the sentinel key (>> any live key + 1, so outside
+    every ring), and self-pairs are excluded by the callers' ``rij2 > 0``
+    term -- which also excluded coincident distinct pairs before, so the
+    per-slot id tests the round-1 kernels carried were fully redundant."""
     dk = win[key_row:key_row + 1, :] - (rec.key + float(off))
-    id_j = win[id_row:id_row + 1, :]
-    m = (dk >= -1.0) & (dk <= 1.0) & (id_j >= 0.0) & (id_j != rec.pid)
+    m = (dk >= -1.0) & (dk <= 1.0)
     dxx = win[0:1, :] - rec.x
     dyy = win[1:2, :] - rec.y
     if planar:
@@ -167,8 +168,7 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
 
                 win = win_scratch[o, slot]  # [W_S, WMAX] field-major
                 m, xij, rij2 = _ring_and_geom(
-                    rec, win, off=offs[o], planar=cfg.planar,
-                    key_row=6, id_row=7)
+                    rec, win, off=offs[o], planar=cfg.planar, key_row=6)
                 m = m & (rij2 > 0)
                 r2s = jnp.where(m, rij2, 1.0)
                 inv_r = jax.lax.rsqrt(r2s)
@@ -325,8 +325,7 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
                 fx, fy, fz = accs
                 win = win_scratch[o, slot]  # [S2_W, WMAX]
                 m, xij, rij2 = _ring_and_geom(
-                    rec, win, off=offs[o], planar=cfg.planar,
-                    key_row=13, id_row=14)
+                    rec, win, off=offs[o], planar=cfg.planar, key_row=13)
                 m = m & (rij2 > 0)
                 r2s = jnp.where(m, rij2, 1.0)
                 inv_r = jax.lax.rsqrt(r2s)

@@ -364,12 +364,13 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         # --- elementwise pre-steps ---------------------------------------
         if cfg.scene.velocity_profile == "turek_inlet":
             vel = wl.turek_inlet_velocity(pos, vel, prop, time, cfg.scene)
-        pos, vel, wall_center = wl.apply_wall_motion(
-            pos, vel, prop, wall_center, time,
-            wall_velocity=sim.wall_velocity, wall_omega=sim.wall_omega,
-            wall_rotation=sim.wall_rotation, dt=dt, scene=cfg.scene,
-            freeze=cfg.compat.freeze_wall_motion,
-        )
+        if not sim._walls_static:
+            pos, vel, wall_center = wl.apply_wall_motion(
+                pos, vel, prop, wall_center, time,
+                wall_velocity=sim.wall_velocity, wall_omega=sim.wall_omega,
+                wall_rotation=sim.wall_rotation, dt=dt, scene=cfg.scene,
+                freeze=cfg.compat.freeze_wall_motion,
+            )
         pos = wl.periodic_wrap(pos, sim.domain_min, sim.domain_width)
         if sim.has_structure:
             s_pos = wl.periodic_wrap(s_pos, sim.domain_min, sim.domain_width)

@@ -86,14 +86,30 @@ class Simulation:
         self.domain_max = tuple(dmax)
         self.domain_width = tuple(dmax - dmin)
 
+        # C8 margin (NumericsConfig.rebuild_margin): widen the candidate
+        # support so the sorted frame + windows stay valid while no particle
+        # has moved more than margin/2 since the last rebuild
+        margin_len = cfg.numerics.rebuild_margin * self.spacing
+        self._rebuild_thresh2 = (0.5 * margin_len) ** 2
         self.cell_grid: CellGrid = build_cell_grid(
-            dmin, dmax, self.kernels.support_radius,
+            dmin, dmax, self.kernels.support_radius + margin_len,
             two_dimensional=cfg.two_dimensional,
         )
 
         self.tables = fl.TypeTables.from_config(cfg, self.kernels, self.dtype)
         (self.wall_center0, self.wall_velocity, self.wall_omega,
          self.wall_rotation) = wl.wall_tables(cfg, self.dtype)
+        # static walls (the common case: Wall6/Wall7 rows all zero, no
+        # Rolling): the prescribed-motion pass is the identity, so the step
+        # skips it entirely (grid wall velocities must also start at the
+        # prescribed zero for the skip to be behavior-preserving)
+        wall0 = (grid.prop >= 4) & (grid.prop < 6)
+        self._walls_static = bool(
+            cfg.scene.rolling is None
+            and not np.any(np.asarray(self.wall_velocity))
+            and not np.any(np.asarray(self.wall_omega))
+            and not np.any(grid.velocity[wall0])
+        )
 
         n_pad = n_pad if n_pad is not None else cfg.numerics.n_pad
         self.state0: ParticleState = state_lib.make_state(
@@ -421,8 +437,9 @@ class Simulation:
             return force[: self.n_pad]
         return self._fluid_phase(pos, vel, prop)[0]
 
-    def _step(self, state: ParticleState) -> ParticleState:
-        """One full time step (the loop body of main(), src/main.cpp:592-686)."""
+    def _step_core(self, state: ParticleState, cache):
+        """One full time step (the loop body of main(), src/main.cpp:592-686).
+        ``cache`` is the C8 frame cache (None = rebuild every step)."""
         cfg = self.cfg
         dt = cfg.dt
         prop = state.prop
@@ -431,15 +448,21 @@ class Simulation:
         if cfg.scene.velocity_profile == "turek_inlet":
             vel = wl.turek_inlet_velocity(pos, vel, prop, time, cfg.scene)
 
-        pos, vel, wall_center = wl.apply_wall_motion(
-            pos, vel, prop, state.wall_center, time,
-            wall_velocity=self.wall_velocity, wall_omega=self.wall_omega,
-            wall_rotation=self.wall_rotation, dt=dt, scene=cfg.scene,
-            freeze=cfg.compat.freeze_wall_motion,
-        )
+        if self._walls_static:
+            wall_center = state.wall_center
+        else:
+            pos, vel, wall_center = wl.apply_wall_motion(
+                pos, vel, prop, state.wall_center, time,
+                wall_velocity=self.wall_velocity, wall_omega=self.wall_omega,
+                wall_rotation=self.wall_rotation, dt=dt, scene=cfg.scene,
+                freeze=cfg.compat.freeze_wall_motion,
+            )
         pos = wl.periodic_wrap(pos, self.domain_min, self.domain_width)
 
-        force = self._force(pos, vel, prop)
+        if cache is None:
+            force = self._force(pos, vel, prop)
+        else:
+            force, cache = self._force_cached(pos, vel, prop, cache)
 
         # velocity kick for fluid + structure (calculateAcceleration,
         # src/main.cpp:2938-2955)
@@ -463,9 +486,93 @@ class Simulation:
 
         return state.replace(
             pos=pos, vel=vel, wall_center=wall_center, time=time + dt
+        ), cache
+
+    def _step(self, state: ParticleState) -> ParticleState:
+        return self._step_core(state, None)[0]
+
+    @property
+    def _margin_cached(self) -> bool:
+        """C8 skip active: margin configured + the (only) backend that
+        carries a reusable frame + window tables."""
+        return (self.cfg.numerics.rebuild_margin > 0.0
+                and self._backend == "pallas_t" and self._ghosts is None)
+
+    def _init_cache(self, state: ParticleState):
+        """Zero frame cache whose ref_pos forces a rebuild on first use."""
+        n = self.n_pad
+        pcfg = self._pcfg
+        nblocks = n // pcfg.block
+        n_off = len(pw.row_offsets(self._frame_grid)[0])
+        i32 = jnp.int32
+        return dict(
+            orig=jnp.zeros((n,), i32), key=jnp.zeros((n,), i32),
+            prop_s=jnp.zeros((n,), i32),
+            ws=jnp.zeros((nblocks, n_off), i32),
+            wl=jnp.zeros((nblocks, n_off), i32),
+            ref_pos=jnp.full_like(state.pos, jnp.inf),
         )
 
+    def _force_cached(self, pos, vel, prop, cache):
+        """pallas_t force evaluation under the C8 margin predicate
+        (neighborCalculation, src/main.cpp:1472-1494): reuse the cached sort
+        permutation + window tables until any particle has moved more than
+        margin/2 since the last rebuild.  The candidate support is widened
+        by the margin (cell_grid build), so the stale frame still covers
+        every pair within the true support; family-radius masks test CURRENT
+        positions, so forces are exact either way -- only the summation
+        order differs between a fresh and a reused permutation."""
+        fgrid = self._frame_grid
+        pcfg = self._pcfg
+        disp2 = jnp.max(jnp.sum((pos - cache["ref_pos"]) ** 2, axis=1))
+
+        def do_rebuild(_):
+            frame = pk.sort_frame(pos, vel, prop, fgrid, with_cell_start=False)
+            ws, wl = pw.compute_windows(frame, fgrid, pcfg)
+            return (frame.orig, frame.key, frame.prop, frame.pos, frame.vel,
+                    ws, wl, pos)
+
+        def do_skip(c):
+            payload = jnp.concatenate([pos, vel], axis=1)[c["orig"]]
+            return (c["orig"], c["key"], c["prop_s"], payload[:, 0:3],
+                    payload[:, 3:6], c["ws"], c["wl"], c["ref_pos"])
+
+        orig, key, prop_s, pos_s, vel_s, ws, wl, ref_pos = jax.lax.cond(
+            disp2 > self._rebuild_thresh2, do_rebuild, do_skip, cache)
+        dummy = jnp.zeros((1,), jnp.int32)
+        frame = pk.SortedFrame(key=key, pos=pos_s, vel=vel_s, prop=prop_s,
+                               orig=orig, cell_start=dummy,
+                               coords=jnp.zeros((1, 3), jnp.int32))
+        windows = (ws, wl)
+        f1 = pwt.phase1_fields_pallas_t(
+            frame, fgrid, self.kernels, self.tables, cfg=pcfg,
+            windows=windows, interpret=self._pallas_interpret)
+        force_s = pwt.phase2_forces_pallas_t(
+            frame, f1, fgrid, self.kernels, self.tables, volume=self.volume,
+            two_dimensional=self.cfg.two_dimensional, cfg=pcfg,
+            windows=windows, interpret=self._pallas_interpret)
+        sprop = frame.prop
+        seg = Segments(sprop)
+        mass_s = self.tables.density[jnp.clip(sprop, 0, 5)] * self.volume
+        fs = seg.fluid | seg.structure
+        grav = jnp.asarray(self.cfg.gravity, dtype=pos.dtype)
+        force_s = force_s + jnp.where(fs[:, None], mass_s[:, None] * grav, 0.0)
+        (force,) = pk.unsort(frame, force_s)
+        new_cache = dict(orig=orig, key=key, prop_s=prop_s, ws=ws, wl=wl,
+                         ref_pos=ref_pos)
+        return force, new_cache
+
     def _chunk(self, state: ParticleState, n_steps: int) -> ParticleState:
+        if self._margin_cached:
+            def body(carry, _):
+                s, c = carry
+                s, c = self._step_core(s, c)
+                return (s, c), None
+
+            (out, _), _ = jax.lax.scan(
+                body, (state, self._init_cache(state)), None, length=n_steps)
+            return out
+
         def body(s, _):
             return self._step(s), None
 

@@ -48,7 +48,7 @@ def mini_bar(nx=20, ny=4) -> GridData:
     scene = BoidScene(
         particle_distance=L0,
         lower_domain=(-5 * L0, -10 * L0, 0.0),
-        upper_domain=(40 * L0, 10 * L0, L0),
+        upper_domain=(max(40, nx + 5) * L0, 10 * L0, L0),
         primitives=[
             Primitive("Cuboid", spacing=L0, type=2, lower=(0.0, -ny / 2 * L0, 0.0),
                       upper=(nx * L0, ny / 2 * L0, L0)),

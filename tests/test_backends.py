@@ -130,3 +130,23 @@ def test_pallas_t_periodic_ghosts():
     d = sim.diagnostics(s)
     assert int(d["neighbor_count"].max()) >= 8
     assert np.isfinite(np.asarray(d["virial_pressure"])).all()
+
+
+def test_rebuild_margin_c8_matches():
+    """C8 knob (NumericsConfig.rebuild_margin > 0): reusing the sorted
+    frame + window tables under the margin predicate must reproduce the
+    rebuild-every-step trajectory (same pair set; only summation order may
+    differ => f64-roundoff tolerance).  Mirrors the reference's disabled
+    margin machinery, src/main.cpp:1472-1494."""
+    grid = mini_fsi()
+    base = dict(scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+    cfg0 = dam_like_config(backend="pallas_t", pallas_block=32,
+                           pallas_wmax=128).replace(**base)
+    cfg1 = dam_like_config(backend="pallas_t", pallas_block=32,
+                           pallas_wmax=128, rebuild_margin=1.0).replace(**base)
+    sim0, sim1 = Simulation(cfg0, grid), Simulation(cfg1, grid)
+    assert not sim0._margin_cached and sim1._margin_cached
+    a = to_numpy(sim0.run_chunk(sim0.state0, 12), grid.n)
+    b = to_numpy(sim1.run_chunk(sim1.state0, 12), grid.n)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)

@@ -177,3 +177,70 @@ class TestThreeDimensional:
                                        rtol=1e-6, atol=1e-8)
             np.testing.assert_allclose(results[b]["vel"], results["gather"]["vel"],
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestF32PallasVsOracle:
+    """The TPU production configuration (float32 + pallas_t window kernels,
+    interpret mode on CPU) against the f64 NumPy oracle.  VERDICT round-1
+    item 8: the whole suite previously ran only CPU/f64, leaving the shipped
+    dtype/backend untested against physics.
+
+    Tolerances are measured f32-vs-f64 drift bounds, dominated by the
+    pressure cancellation kappa*(sum w - N0p) in f32 (SURVEY hard part #1):
+    after 10 steps of the mini dam the max position deviation is ~8.5e-7 m
+    (0.09% of spacing; BASELINE.md measured the same 'isolated front
+    particle' tail on the full Dam case over 1000 steps).  Asserted at 2x
+    the measured max as a regression tripwire."""
+
+    def test_mini_dam_f32_pallas_t(self):
+        grid = mini_dam()
+        cfg = dam_like_config(dtype="float32", backend="pallas_t",
+                              pallas_block=32, pallas_wmax=128)
+        eng, orc, sim = run_pair(grid, cfg, 10, with_solid=False)
+        assert sim._backend == "pallas_t"
+        np.testing.assert_allclose(eng["pos"], orc.pos, rtol=0, atol=2e-6)
+        np.testing.assert_allclose(eng["vel"], orc.vel, rtol=0, atol=2e-4)
+
+    def test_mini_fsi_f32_pallas_t(self):
+        grid = mini_fsi()
+        cfg = dam_like_config(dtype="float32", backend="pallas_t",
+                              pallas_block=32, pallas_wmax=128).replace(
+            scene=SCENES["dam"],
+            young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+        eng, orc, sim = run_pair(grid, cfg, 10, with_solid=True)
+        assert sim._backend == "pallas_t"
+        np.testing.assert_allclose(eng["pos"], orc.pos, rtol=0, atol=5e-6)
+        np.testing.assert_allclose(eng["vel"], orc.vel, rtol=0, atol=5e-4)
+
+    def test_momentum_conservation_f32_pallas_t(self):
+        """Antisymmetric pair forces conserve momentum in f32 to the
+        accumulation roundoff of ~N*eps_f32*scale."""
+        from particlemethod_fsi_tpu.generator import (
+            BoidScene, Primitive, generate_grid,
+        )
+        from cases import L0
+
+        rng = np.random.default_rng(1)
+        n_side = 12
+        grid = generate_grid(BoidScene(
+            particle_distance=L0,
+            lower_domain=(0.0, 0.0, 0.0),
+            upper_domain=(n_side * L0, n_side * L0, L0),
+            primitives=[Primitive("Cuboid", spacing=L0, type=0,
+                                  lower=(0, 0, 0),
+                                  upper=(n_side * L0, n_side * L0, L0))],
+        ))
+        grid.velocity[:, :2] = rng.normal(scale=0.01, size=(grid.n, 2))
+        cfg = dam_like_config(dtype="float32", backend="pallas_t",
+                              pallas_block=32, pallas_wmax=128).replace(
+            gravity=(0.0, 0.0, 0.0))
+        sim = Simulation(cfg, grid)
+        s = sim.state0
+        mass = np.asarray(sim.tables.density)[np.clip(grid.prop, 0, 5)] * sim.volume
+        p0 = (mass[:, None] * grid.velocity).sum(axis=0)
+        for _ in range(20):
+            s = sim.step(s)
+        out = to_numpy(s, grid.n)
+        p1 = (mass[:, None].astype(np.float64) * out["vel"]).sum(axis=0)
+        scale = np.abs(mass[:, None] * out["vel"]).sum()
+        np.testing.assert_allclose(p1, p0, atol=3e-6 * max(scale, 1e-30))

@@ -225,3 +225,85 @@ class TestBarFrequencyOracle:
         L, h, E, rho = 0.02, 0.004, 1e5, 1.1e3
         f_eb = 1.875**2 / (2 * math.pi * L**2) * math.sqrt(E * h**2 / (12 * rho))
         assert abs(f_measured - f_eb) / f_eb < 0.25, (f_measured, f_eb)
+
+
+class TestSlenderBarFrequencyOracle:
+    """Slender-cantilever (L/h = 10) first-mode frequency vs Euler-Bernoulli
+    with the plane-strain correction E' = E/(1-nu^2).
+
+    Measured convergence study (rigid 4-column clamp at x0 < 0, FFT peak
+    with parabolic interpolation, dt = elastic dt = 2e-6, E = 1e7):
+
+        h = 4 particles: -27.5% vs EB
+        h = 6 particles: -16.0%
+        h = 8 particles: -10.8%
+
+    The softness at coarse thickness is a property of the REFERENCE's
+    pairwise total-Lagrangian discretization, which this framework
+    reproduces to 0.0004% of tip amplitude against the actual reference
+    binary (tests/test_golden.py, goldens/README.md) -- EB agreement
+    converges only as the thickness is resolved.  These tests pin the
+    measured values as regression tripwires (a solid-pipeline bug shows up
+    as a shift far beyond the +/-3% band) and assert the convergence trend
+    at the resolutions a test can afford."""
+
+    @staticmethod
+    def _measure(nx, ny, n_samples, e_mod=1e7, nu=0.2, rho=1.1e3):
+        import dataclasses
+        import math
+
+        from particlemethod_fsi_tpu.generator import (
+            BoidScene, Primitive, generate_grid,
+        )
+
+        grid = generate_grid(BoidScene(
+            particle_distance=L0,
+            lower_domain=(-8 * L0, -(ny + 6) * L0, 0.0),
+            upper_domain=((nx + 5) * L0, (ny + 6) * L0, L0),
+            primitives=[
+                Primitive("Cuboid", spacing=L0, type=2,
+                          lower=(-4 * L0, -ny / 2 * L0, 0.0),
+                          upper=(nx * L0, ny / 2 * L0, L0)),
+            ],
+        ))
+        scene = dataclasses.replace(
+            SCENES["bar"], clamp_threshold=0.0, bar_length=nx * L0,
+            bar_amplitude=0.002)
+        cfg = dam_like_config(max_initial_neighbors=64).replace(
+            scene=scene, gravity=(0, 0, 0), dt=2e-6, elastic_dt=2e-6,
+            young_modulus=(0.0, 0.0, e_mod, 1e5, 1e8, 1e4),
+        )
+        cfg = cfg.replace(compat=cfg.compat.__class__(
+            double_substep_position_update=False))
+        sim = Simulation(cfg, grid)
+        s = sim.apply_initial_velocity_profile(sim.state0)
+        tip = np.argmax(grid.initial_position[:, 0])
+        hist = []
+        for _ in range(n_samples):
+            s = sim.run_chunk(s, 250)  # 0.5 ms per sample
+            out = to_numpy(s, grid.n)
+            hist.append(out["pos"][tip, 1] - grid.initial_position[tip, 1])
+        h = np.asarray(hist)
+        h = h - h.mean()
+        spec = np.abs(np.fft.rfft(h * np.hanning(len(h))))
+        df = 1.0 / (len(h) * 250 * 2e-6)
+        k = int(np.argmax(spec))
+        if 0 < k < len(spec) - 1:
+            a, b, c = spec[k - 1], spec[k], spec[k + 1]
+            k = k + 0.5 * (a - c) / (a - 2 * b + c)
+        f_measured = float(k) * df
+        e_eff = e_mod / (1.0 - nu * nu)
+        f_eb = 1.875**2 / (2 * math.pi * (nx * L0) ** 2) * math.sqrt(
+            e_eff * (ny * L0) ** 2 / (12 * rho))
+        return (f_measured - f_eb) / f_eb
+
+    def test_slender_bar_h4_tripwire(self):
+        err = self._measure(40, 4, 240)
+        assert -0.305 <= err <= -0.245, err  # measured -27.5%
+
+    @pytest.mark.slow
+    def test_slender_bar_thickness_convergence(self):
+        e4 = self._measure(40, 4, 240)
+        e8 = self._measure(80, 8, 360)
+        assert -0.14 <= e8 <= -0.08, e8  # measured -10.8%
+        assert abs(e8) < abs(e4) * 0.55, (e4, e8)  # first-order-ish trend
