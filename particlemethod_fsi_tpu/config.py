@@ -159,7 +159,13 @@ class NumericsConfig:
     pallas_subblocks: int = 2
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
-    cell_capacity: int = 16  # max particles per cell-list bucket
+    # max particles per cell-list bucket (packed/gather engines + halo's
+    # local frames; the pallas window sweep is exact and ignores it).
+    # None = dimension-aware default resolved at Simulation init: 16 in
+    # 2-D (~6.25 lattice sites per support-wide cell), 40 in 3-D (~15.6
+    # sites average, more under compression -- 16 silently dropped REAL
+    # candidates in 3-D, order-dependently, breaking halo parity)
+    cell_capacity: Optional[int] = None
     # C8 knob (the reference's disabled margin-refresh predicate,
     # src/main.cpp:1472-1494, 608-610): 0.0 = rebuild the sorted frame +
     # windows every step (quirk Q2, the shipped behavior).  > 0 widens the

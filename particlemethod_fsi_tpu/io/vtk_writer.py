@@ -13,6 +13,31 @@ from __future__ import annotations
 import numpy as np
 
 
+def _write_native(path, prop, pos, pos0, vel, stress, strain, accel, force,
+                  nbr0_count, nbr_count) -> bool:
+    """Write via native/fsiio.cpp when the library is available; False =
+    caller falls back to the NumPy path."""
+    try:
+        from particlemethod_fsi_tpu.io import native
+
+        def f64(a):
+            return (None if a is None
+                    else np.ascontiguousarray(a, dtype=np.float64))
+
+        def i32(a):
+            return (None if a is None
+                    else np.ascontiguousarray(a, dtype=np.int32))
+
+        return native.write_vtk(
+            path, prop=i32(prop), pos=f64(pos), pos0=f64(pos0), vel=f64(vel),
+            stress=f64(stress), strain=f64(strain), accel=f64(accel),
+            force=f64(force), nbr0_count=i32(nbr0_count),
+            nbr_count=i32(nbr_count),
+        )
+    except Exception:
+        return False
+
+
 def write_vtk_file(
     path,
     *,
@@ -29,6 +54,18 @@ def write_vtk_file(
     extra_scalars: dict | None = None,
 ) -> None:
     n = int(prop.shape[0])
+    # fast path: the native C++ writer (native/fsiio.cpp, buffered fprintf)
+    # -- np.savetxt costs ~20 s/frame at 236k particles, the native writer
+    # ~1 s; extra scalar blocks are appended host-side afterwards
+    if _write_native(path, prop, position, initial_position, velocity,
+                     stress, strain, acceleration, force,
+                     initial_neighbor_count, neighbor_count):
+        if extra_scalars:
+            with open(path, "a") as f:
+                for name, arr in extra_scalars.items():
+                    f.write(f"\nSCALARS {name} float 1\nLOOKUP_TABLE default\n")
+                    np.savetxt(f, np.asarray(arr).reshape(n, 1), fmt="%e")
+        return
     zeros_t = np.zeros((n, 3, 3))
     zeros_v = np.zeros((n, 3))
     stress = zeros_t if stress is None else stress

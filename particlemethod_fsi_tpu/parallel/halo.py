@@ -255,13 +255,13 @@ def gather_state(sim, state: HaloState) -> dict:
     keep = prop >= 0
     s_valid = np.asarray(sim.solid.s_valid)
     s_slot = np.where(s_valid, np.asarray(sim.solid.s_idx), 0)
-    s_prop = np.asarray(sim.state0.prop)[s_slot]
+    s_prop = sim.state0_host["prop"][s_slot]
     return dict(
         prop=np.concatenate([prop[keep], s_prop[s_valid]]),
         pos=np.concatenate([np.asarray(state.pos)[keep],
                             np.asarray(state.s_pos)[s_valid]]),
         pos0=np.concatenate([np.asarray(state.pos0)[keep],
-                             np.asarray(sim.state0.pos0)[s_slot][s_valid]]),
+                             sim.state0_host["pos0"][s_slot][s_valid]]),
         vel=np.concatenate([np.asarray(state.vel)[keep],
                             np.asarray(state.s_vel)[s_valid]]),
         oid=np.concatenate([np.asarray(state.oid)[keep], s_slot[s_valid]]),
@@ -349,7 +349,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     if sim.has_structure:
         sv = np.asarray(solid.s_valid)
         si = np.where(sv, np.asarray(solid.s_idx), 0)
-        s_prop_host = np.where(sv, np.asarray(sim.state0.prop)[si], -1).astype(np.int32)
+        s_prop_host = np.where(sv, sim.state0_host["prop"][si], -1).astype(np.int32)
 
     def perm(direction):
         # ring neighbors (periodic domain => circular ring)
@@ -439,7 +439,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         # --- phase 1 everywhere; authoritative fields from the owners -----
         rv_all = pk.receivers_of(frame)
         f1 = pk.phase1_fields(frame, rv_all, sim.cell_grid, sim.kernels,
-                              sim.tables, cap=cfg.numerics.cell_capacity)
+                              sim.tables, cap=sim.cell_capacity)
         # back to pre-sort row order to slice own/ghost/structure blocks
         pp_r, pa_r, gc_r, mu_r = pk.unsort(
             frame, f1["pressure_p"], f1["pressure_a"],
@@ -491,7 +491,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             frame, rv_all, fields2, fields2, sim.cell_grid,
             sim.kernels, sim.tables, volume=sim.volume,
             two_dimensional=cfg.two_dimensional,
-            cap=cfg.numerics.cell_capacity,
+            cap=sim.cell_capacity,
         )
         (force_rows,) = pk.unsort(frame, force_s)
 

@@ -101,7 +101,7 @@ def make_sharded_step(sim, mesh: Mesh):
         rv = pk.receivers_of(frame, start=rank * nr, count=nr)
         f1 = pk.phase1_fields(
             frame, rv, sim.cell_grid, sim.kernels, sim.tables,
-            cap=cfg.numerics.cell_capacity,
+            cap=sim.cell_capacity,
         )
 
         # --- share phase-1 fields needed by phase 2 ---------------------
@@ -115,7 +115,7 @@ def make_sharded_step(sim, mesh: Mesh):
             frame, rv, sender_fields, f1, sim.cell_grid, sim.kernels,
             sim.tables, volume=sim.volume,
             two_dimensional=cfg.two_dimensional,
-            cap=cfg.numerics.cell_capacity,
+            cap=sim.cell_capacity,
         )
         # gravity on fluid + structure (src/main.cpp:2917-2935)
         seg = Segments(rv.prop)

@@ -96,6 +96,9 @@ class Simulation:
             two_dimensional=cfg.two_dimensional,
         )
 
+        nc_cap = cfg.numerics.cell_capacity
+        self.cell_capacity: int = (nc_cap if nc_cap is not None
+                                   else (16 if cfg.two_dimensional else 40))
         self.tables = fl.TypeTables.from_config(cfg, self.kernels, self.dtype)
         (self.wall_center0, self.wall_velocity, self.wall_omega,
          self.wall_rotation) = wl.wall_tables(cfg, self.dtype)
@@ -118,6 +121,13 @@ class Simulation:
             n_pad=n_pad, dtype=self.dtype,
         )
         self.n_pad = self.state0.n_pad
+        # host copies of the static columns: run_chunk DONATES its input, so
+        # code that consults the initial state later (halo gather/restore)
+        # must not read state0's device buffers
+        self.state0_host = dict(
+            prop=np.asarray(self.state0.prop),
+            pos0=np.asarray(self.state0.pos0),
+        )
 
         # static solid precomputation from the reference configuration
         # (calculateInitialNeighbor + calculateNormalizer, run once at init,
@@ -291,7 +301,7 @@ class Simulation:
         return build_neighbor_list(
             pos, prop >= 0, self.cell_grid,
             max_neighbors=self.cfg.numerics.max_neighbors,
-            cell_capacity=self.cfg.numerics.cell_capacity,
+            cell_capacity=self.cell_capacity,
         )
 
     def _fluid_phase(self, pos, vel, prop):
@@ -388,7 +398,7 @@ class Simulation:
                     frame, self.cell_grid, self.kernels, self.tables,
                     volume=self.volume,
                     two_dimensional=self.cfg.two_dimensional,
-                    cap=self.cfg.numerics.cell_capacity,
+                    cap=self.cell_capacity,
                 )
             else:
                 fgrid = self._frame_grid
@@ -649,16 +659,16 @@ class Simulation:
                                   with_cell_start=True)
             rv = pk.receivers_of(frame)
             f1 = pk.phase1_fields(frame, rv, self.cell_grid, self.kernels,
-                                  self.tables, cap=cfg.numerics.cell_capacity)
+                                  self.tables, cap=self.cell_capacity)
             force_s = pk.phase2_forces(
                 frame, rv, f1, f1, self.cell_grid, self.kernels, self.tables,
                 volume=self.volume, two_dimensional=cfg.two_dimensional,
-                cap=cfg.numerics.cell_capacity,
+                cap=self.cell_capacity,
             )
             virial_s, vp_s = pk.packed_virial(
                 frame, f1, self.cell_grid, self.kernels, self.tables,
                 volume=self.volume, two_dimensional=cfg.two_dimensional,
-                cap=cfg.numerics.cell_capacity,
+                cap=self.cell_capacity,
             )
         # un-sort everything back to slot order by inverse-permutation GATHER:
         # a 17-operand lax.sort unsort takes >4 minutes to COMPILE at 125k
@@ -750,10 +760,15 @@ def load_case(data_path, grid_path, *, scene="none", compat=None, numerics=None)
     cfg = parse_data_file(data_path)
     scene_cfg = SCENES[scene] if isinstance(scene, str) else scene
     updates = {"scene": scene_cfg}
+    grid = read_grid_file(grid_path)
+    # dimensionality was a compile-time #define in the reference
+    # (TWO_DIMENSIONAL, src/main.cpp:50); infer it from the scene geometry:
+    # 2-D grids carry a z-extent of exactly one particle spacing
+    z_width = float(grid.domain_max[2] - grid.domain_min[2])
+    updates["two_dimensional"] = z_width <= 1.5 * float(grid.spacing)
     if compat is not None:
         updates["compat"] = compat
     if numerics is not None:
         updates["numerics"] = numerics
     cfg = dataclasses.replace(cfg, **updates)
-    grid = read_grid_file(grid_path)
     return cfg, grid

@@ -1,0 +1,106 @@
+"""Scale-out wave case (cases/wave): halo-mode slab decomposition under
+sustained migration -- the surge crosses split planes for 120+ steps --
+validated against the single-chip trajectory on the virtual 8-device CPU
+mesh (VERDICT round-1 weak item 4: multichip was only ever tested for a
+few steps at toy scale)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from particlemethod_fsi_tpu.io.grid_file import read_grid_file
+from particlemethod_fsi_tpu.solver import Simulation, load_case
+from particlemethod_fsi_tpu.state import to_numpy
+
+WAVE_DIR = "/root/repo/cases/wave"
+
+
+@pytest.fixture(scope="module")
+def wave_grid(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wave")
+    out = d / "wave.grid"
+    subprocess.run(
+        [sys.executable, f"{WAVE_DIR}/generate.py", "--scale", "0.06",
+         "--out", str(out)], check=True, cwd=d)
+    return str(out)
+
+
+def _match(ref_pos, pos):
+    """Nearest-neighbor pairing (lexsort pairing flips rows when two
+    particles sit at nearly identical coordinates)."""
+    from scipy.spatial import cKDTree
+
+    d, idx = cKDTree(ref_pos).query(pos)
+    return d, idx
+
+
+def test_wave_halo_120_steps_matches_single_chip(wave_grid):
+    import jax
+
+    from particlemethod_fsi_tpu.parallel import halo
+    from particlemethod_fsi_tpu.parallel.sharding import make_mesh
+
+    cfg, grid = load_case(f"{WAVE_DIR}/wave.data", wave_grid, scene="dam")
+    assert not cfg.two_dimensional
+    # kick the raised column so migration across split planes happens
+    # within the test horizon (gravity alone moves mm in 120 steps)
+    col = (grid.prop == 1) & (grid.position[:, 1] > 0.06)
+    assert col.sum() > 50
+    grid.velocity[col, 0] = 2.0
+    sim = Simulation(cfg, grid)
+
+    # partition BEFORE the single-chip run: run_chunk donates its input,
+    # deleting sim.state0's buffers
+    mesh = make_mesh(8)
+    splits = halo.compute_splits(sim, 8, grid.position,
+                                 np.ones(grid.n, bool))
+    hcfg = halo.default_halo_config(sim, 8, splits=splits)
+    state = halo.partition_state(sim, mesh, hcfg, splits=splits)
+    _, run_chunk, hcfg = halo.make_halo_step(sim, mesh, hcfg)
+
+    s = sim.run_chunk(sim.state0, 120)
+    ref = to_numpy(s, grid.n)
+    total_over = 0
+    for k in range(4):  # rebalance every 30 steps, like output cadence
+        state, over = run_chunk(state, 30)
+        total_over += int(over)
+        if k < 3:
+            state = halo.rebalance(sim, mesh, hcfg, state)
+    assert total_over == 0, "halo buffers overflowed"
+
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n  # nobody lost in 120 migrations
+    d, idx = _match(ref["pos"][: grid.n], out["pos"])
+    assert len(np.unique(idx)) == grid.n  # a bijection, not a collapse
+    np.testing.assert_array_equal(ref["prop"][: grid.n][idx], out["prop"])
+    # halo reorders the pairwise summations; 120 steps of the chaotic
+    # surge grow the fp-association difference to ~1e-7 m here
+    assert d.max() < 1e-6, d.max()
+    dv = np.abs(ref["vel"][: grid.n][idx] - out["vel"]).max()
+    assert dv < 1e-3, dv
+
+
+def test_wave_halo_buffer_saturation_reported(wave_grid):
+    """Deliberately undersized migration buffers must COUNT overflows, not
+    lose particles silently or crash."""
+    from particlemethod_fsi_tpu.parallel import halo
+    from particlemethod_fsi_tpu.parallel.sharding import make_mesh
+
+    cfg, grid = load_case(f"{WAVE_DIR}/wave.data", wave_grid, scene="dam")
+    col = (grid.prop == 1) & (grid.position[:, 1] > 0.06)
+    grid.velocity[col, 0] = 2.0
+    sim = Simulation(cfg, grid)
+    mesh = make_mesh(8)
+    splits = halo.compute_splits(sim, 8, grid.position,
+                                 np.ones(grid.n, bool))
+    base = halo.default_halo_config(sim, 8, splits=splits)
+    tiny = base._replace(halo_cap=128)  # far below the strip occupancy
+    state = halo.partition_state(sim, mesh, tiny, splits=splits)
+    step, _, tiny = halo.make_halo_step(sim, mesh, tiny)
+    overflowed = 0
+    for _ in range(5):
+        state, over = step(state)
+        overflowed = max(overflowed, int(over))
+    assert overflowed > 0
