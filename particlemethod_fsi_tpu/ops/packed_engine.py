@@ -452,3 +452,70 @@ def resort(frame: SortedFrame, *arrays):
     n = frame.orig.shape[0]
     (inv,) = unsort(frame, jnp.arange(n, dtype=jnp.int32))
     return apply_key_sort(inv, *arrays)
+
+
+def pad_frame_planes(frame: SortedFrame, grid, *, align: int = 256,
+                     region_cells: int | None = None) -> SortedFrame:
+    """Re-pack a 3-D sorted frame so every cell-PLANE (z-slab) starts at an
+    ``align``-multiple row, by inserting sentinel pad rows at plane ends.
+
+    Why: a receiver block spanning a z-plane boundary has neighbors on two
+    planes, far apart in linear cell id, so its per-offset windows span an
+    entire plane (~N/nz rows; measured max 4,938 lanes at 236k = 20 chunks
+    x 9 offsets -- ~40% of 3-D phase time for the ~1-per-plane crossing
+    blocks).  With plane-aligned starts no block (block sizes divide
+    ``align``) ever crosses a plane, capping windows at the within-plane
+    y-row span.  2-D frames have one plane; padding is a no-op there --
+    callers skip it.
+
+    Static shapes: output length = n + nz*align (a <align waste bound per
+    plane); original tail sentinels are dropped (pad rows replace them).
+    Pad rows carry the sentinel key (outside every window ring), prop -1,
+    and orig beyond every real slot (unsort parks them at the tail).
+    """
+    nx, ny, nz = grid.cell_count
+    plane_cells = region_cells if region_cells is not None else nx * ny
+    n_planes = grid.num_cells // plane_cells
+    n = frame.key.shape[0]
+    # region-count regions + one tail region holding the frame's sentinel rows
+    # (invalid particles) -- kept, not dropped, so `orig` stays a superset
+    # permutation and unsort-then-slice recovers every original slot
+    n_regions = n_planes + 1
+    n_out = n + n_regions * align
+    i32 = jnp.int32
+
+    bounds = jnp.concatenate([
+        jnp.arange(n_planes + 1, dtype=i32) * i32(plane_cells),
+        jnp.full((1,), n, dtype=i32),  # tail region end (by row, see below)
+    ])
+    starts = jnp.searchsorted(frame.key, bounds[:-1]).astype(i32)
+    starts = jnp.concatenate([starts, jnp.full((1,), n, dtype=i32)])
+    counts = starts[1:] - starts[:-1]  # [nz+1]
+    padded = ((counts + i32(align - 1)) // i32(align)) * i32(align)
+    ps = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)])
+
+    j = jnp.arange(n_out, dtype=i32)
+    q = jnp.clip(jnp.searchsorted(ps, j, side="right") - 1, 0, n_planes)
+    off = j - ps[q]
+    src = jnp.clip(starts[q] + off, 0, n - 1)
+    valid = off < counts[q]
+
+    # pad keys: the last cell of the pad's own plane -- keys stay globally
+    # sorted (compute_windows searchsorts them) and windows stay
+    # plane-local; the global sentinel there would make any block touching
+    # a pad row span the entire frame.  Tail-region pads keep the sentinel.
+    pad_key = jnp.where(q < n_planes, (q + 1) * i32(plane_cells) - 1,
+                        i32(grid.num_cells))
+    key = jnp.where(valid, frame.key[src], pad_key)
+    prop = jnp.where(valid, frame.prop[src], -1)
+    orig = jnp.where(valid, frame.orig[src], i32(n) + j)
+    pv = jnp.concatenate([frame.pos, frame.vel], axis=1)[src]
+    # pad positions are poisoned far away: a plane pad's key IS a real cell,
+    # so it can enter ring masks -- the radius test must kill it
+    pos = jnp.where(valid[:, None], pv[:, 0:3], 1.0e9)
+    vel = jnp.where(valid[:, None], pv[:, 3:6], 0.0)
+    return SortedFrame(
+        key=key, pos=pos, vel=vel, prop=prop, orig=orig,
+        cell_start=frame.cell_start,
+        coords=jnp.zeros((1, 3), i32),
+    )

@@ -171,6 +171,12 @@ class Simulation:
                 )
         self._frame_grid = (self._ghosts.grid if self._ghosts is not None
                             else self.cell_grid)
+        # 3-D: plane-align the sorted frame so no receiver block spans a
+        # z-plane boundary (whose windows would cover a full plane; see
+        # packed_engine.pad_frame_planes)
+        self._pad_planes = (not cfg.two_dimensional
+                            and self._backend in ("pallas", "pallas_t")
+                            and self._frame_grid.cell_count[2] > 1)
         if (self._backend == "pallas_t"
                 and self._frame_grid.num_cells >= (1 << 24)):
             # cell keys ride as f32 lanes in the transposed layout
@@ -367,6 +373,14 @@ class Simulation:
             self._ghosts, self.cell_grid, pos, vel, prop, self.n_pad)
         return (pos_e, vel_e, prop_e), src
 
+    def _pallas_frame(self, pos, vel, prop):
+        """Sorted (and, in 3-D, plane-aligned) frame for the window sweeps."""
+        frame = pk.sort_frame(pos, vel, prop, self._frame_grid,
+                              with_cell_start=False)
+        if self._pad_planes:
+            frame = pk.pad_frame_planes(frame, self._frame_grid)
+        return frame
+
     def _propagate_ghost_fields(self, frame, f1, src):
         """Overwrite ghost rows' phase-1 sender fields with their SOURCE
         particles' values (a ghost's own sums are incomplete: its
@@ -377,8 +391,12 @@ class Simulation:
         if self._pcfg.surface_tension:
             names += ["pressure_a", "gravity_center"]
         rows = pk.unsort(frame, *[f1[k] for k in names])
-        fixed = [jnp.concatenate([r[: self.n_pad], r[src]], axis=0)
-                 for r in rows]
+        # unsorted row order: [real slots | ghost rows | plane-pad rows];
+        # only the ghost rows are overwritten with their sources' values
+        g = src.shape[0]
+        fixed = [jnp.concatenate(
+            [r[: self.n_pad], r[src], r[self.n_pad + g:]], axis=0)
+            for r in rows]
         resorted = pk.resort(frame, *fixed)
         f1 = dict(f1)
         for k, v in zip(names, resorted):
@@ -403,7 +421,7 @@ class Simulation:
             else:
                 fgrid = self._frame_grid
                 finputs, gsrc = self._frame_inputs(pos, vel, prop)
-                frame = pk.sort_frame(*finputs, fgrid, with_cell_start=False)
+                frame = self._pallas_frame(*finputs)
                 pcfg = self._pcfg
                 if backend == "pallas_t":
                     windows = pw.compute_windows(frame, fgrid, pcfg)
@@ -511,6 +529,8 @@ class Simulation:
     def _init_cache(self, state: ParticleState):
         """Zero frame cache whose ref_pos forces a rebuild on first use."""
         n = self.n_pad
+        if self._pad_planes:
+            n += (self._frame_grid.cell_count[2] + 1) * 256
         pcfg = self._pcfg
         nblocks = n // pcfg.block
         n_off = len(pw.row_offsets(self._frame_grid)[0])
@@ -537,7 +557,7 @@ class Simulation:
         disp2 = jnp.max(jnp.sum((pos - cache["ref_pos"]) ** 2, axis=1))
 
         def do_rebuild(_):
-            frame = pk.sort_frame(pos, vel, prop, fgrid, with_cell_start=False)
+            frame = self._pallas_frame(pos, vel, prop)
             ws, wl = pw.compute_windows(frame, fgrid, pcfg)
             return (frame.orig, frame.key, frame.prop, frame.pos, frame.vel,
                     ws, wl, pos)
@@ -570,7 +590,7 @@ class Simulation:
         (force,) = pk.unsort(frame, force_s)
         new_cache = dict(orig=orig, key=key, prop_s=prop_s, ws=ws, wl=wl,
                          ref_pos=ref_pos)
-        return force, new_cache
+        return force[: self.n_pad], new_cache
 
     def _chunk(self, state: ParticleState, n_steps: int) -> ParticleState:
         if self._margin_cached:
@@ -612,7 +632,7 @@ class Simulation:
             # large N (301 s at 125k particles measured on v5e)
             fgrid = self._frame_grid
             finputs, gsrc = self._frame_inputs(pos, vel, prop)
-            frame = pk.sort_frame(*finputs, fgrid, with_cell_start=False)
+            frame = self._pallas_frame(*finputs)
             pcfg = self._pcfg
             if self._backend == "pallas_t":
                 windows = pw.compute_windows(frame, fgrid, pcfg)

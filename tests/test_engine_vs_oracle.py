@@ -162,7 +162,7 @@ class TestThreeDimensional:
 
         grid = mini_dam_3d()
         results = {}
-        for backend in ("gather", "packed", "pallas"):
+        for backend in ("gather", "packed", "pallas", "pallas_t"):
             sim = Simulation(config_3d(backend=backend, pallas_block=32,
                                        pallas_wmax=256), grid)
             s = sim.state0
@@ -172,7 +172,7 @@ class TestThreeDimensional:
         # 3-D particle masses are 1000x smaller than 2-D (volume l0^3), so
         # fp-summation-order noise amplifies to ~1e-10 over a few steps; a
         # real neighbor-set discrepancy would show at >=1e-4
-        for b in ("packed", "pallas"):
+        for b in ("packed", "pallas", "pallas_t"):
             np.testing.assert_allclose(results[b]["pos"], results["gather"]["pos"],
                                        rtol=1e-6, atol=1e-8)
             np.testing.assert_allclose(results[b]["vel"], results["gather"]["vel"],
