@@ -154,7 +154,10 @@ def run(args) -> int:
     from particlemethod_fsi_tpu.utils.watchdog import check_state, sound_speed_bound
 
     speed_limit = 2.0 * max(sound_speed_bound(cfg), 1.0)
-    last_good = None  # (state, time, i_step)
+    last_good = None  # (host GridData snapshot, time): HOST copies -- the
+    #                     scan donates device buffers, so a saved device
+    #                     state would be deleted by the next chunk
+    retries = 2  # watchdog auto-recovery budget (halve dt per retry)
 
     dt = cfg.dt
     time = grid.time
@@ -225,19 +228,37 @@ def run(args) -> int:
             )
             if not rep.ok:
                 log.printf("WATCHDOG: %s at t=%e\n", rep.reason, time)
-                if last_good is not None:
-                    state, time, i_step = last_good
-                    log.printf("WATCHDOG: rolled back to t=%e; aborting run\n", time)
-                write_grid_file(snapshot(), args.prof % i_step)
-                log.close()
-                return 2
+                if last_good is None:
+                    log.printf("WATCHDOG: no good snapshot yet; aborting\n")
+                    log.close()
+                    return 2
+                good_grid, t_good = last_good
+                if retries <= 0:
+                    write_grid_file(good_grid, args.prof % i_step)
+                    log.printf("WATCHDOG: rolled back to t=%e; retries "
+                               "exhausted, aborting run\n", t_good)
+                    log.close()
+                    return 2
+                # auto-recovery: reload the last good snapshot and continue
+                # with a halved time step (rebuilds the jitted step; the
+                # substep ratio is preserved)
+                retries -= 1
+                dt = dt / 2.0
+                cfg = cfg.replace(dt=dt, elastic_dt=cfg.elastic_dt / 2.0)
+                log.printf("WATCHDOG: recovering from t=%e with dt=%e "
+                           "(%d retries left)\n", t_good, dt, retries)
+                sim = Simulation(cfg, good_grid)
+                state = sim.state0
+                time = t_good
+                i_step = int(round(time / dt))
+                continue
         if time + eps >= output_next:
             write_grid_file(snapshot(), args.prof % i_step)
             if args.checkpoint:
                 from particlemethod_fsi_tpu.utils.checkpoint import save_checkpoint
 
                 save_checkpoint(args.checkpoint % i_step, state, n=grid.n)
-            last_good = (state, time, i_step)
+            last_good = (snapshot(), time)
             log.printf("@ Prof Output Time : %e\n", time)
             output_next += cfg.output_interval
         if time + eps >= vtk_next:

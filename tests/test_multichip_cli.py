@@ -63,3 +63,29 @@ def test_cli_mesh_too_many_devices(tmp_path):
         "--mesh", "64",
     ])
     assert rc == 1
+
+
+def test_watchdog_recovery_no_crash(tmp_path):
+    """A CFL-violating dt must trip the watchdog at an output boundary,
+    trigger dt-halving auto-recovery from the last HOST snapshot (a saved
+    device state would have been deleted by the scan's buffer donation --
+    the round-1 rollback crashed with 'Array has been deleted'), and end
+    with a clean rc in {0 (recovered), 2 (retries exhausted)} -- never an
+    unhandled exception."""
+    d = tmp_path / "wd"
+    d.mkdir()
+    data = d / "dam.data"
+    # a 1e5 m/s^2 gravity accelerates the fluid past the watchdog's
+    # 632 m/s speed limit within ~6 ms of simulated time, deterministically
+    # (appended line: the key-value parser lets later keys override)
+    data.write_text(open(DAM_DATA).read() + "\nGravity 0.0 -100000.0 0.0\n")
+    rc = cli.main([
+        str(data), DAM_GRID, str(d / "o%03d.prof"), str(d / "o%03d.vtk"),
+        str(d / "run.log"), "1", "--scene", "dam", "--dtype", "float64",
+        "--backend", "packed", "--end-time", "0.05",
+    ])
+    log = (d / "run.log").read_text()
+    assert "WATCHDOG:" in log
+    assert rc in (0, 2), log[-2000:]
+    if rc == 2:
+        assert "recovering from" in log  # both retries were attempted
