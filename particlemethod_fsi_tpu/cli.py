@@ -72,6 +72,11 @@ def build_parser():
     p.add_argument("--checkpoint", default=None,
                    help="binary checkpoint path pattern (e.g. ck%%03d.npz)")
     p.add_argument("--restore", default=None, help="resume from a .npz checkpoint")
+    p.add_argument("--restart-grid", default=None,
+                   help="override the grid argument with a .prof snapshot "
+                        "(the reference restart contract: any .prof is a "
+                        "valid grid, src/main.cpp:788-955); used by "
+                        "tools/resilient_run.sh")
     p.add_argument("--no-watchdog", action="store_true",
                    help="disable the NaN/blow-up watchdog")
     p.add_argument("--mesh", type=int, default=None,
@@ -105,7 +110,10 @@ def run(args) -> int:
         jax.config.update("jax_platforms", platform)
     log = RunLog(args.log, args.metrics)
     log.printf("start reading files at %s\n", _time.ctime())
-    cfg, grid = load_case(args.data, args.grid, scene=args.scene)
+    grid_path = args.restart_grid or args.grid
+    if args.restart_grid:
+        log.printf("restarting from %s\n", args.restart_grid)
+    cfg, grid = load_case(args.data, grid_path, scene=args.scene)
     numerics_updates = {}
     if args.dtype:
         numerics_updates["dtype"] = args.dtype

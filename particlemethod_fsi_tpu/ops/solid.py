@@ -271,9 +271,18 @@ def deformation_gradient_subset(sub_pos, solid: SolidStatic, domain_width):
     (calculateElasticDeformationVector, src/main.cpp:2700-2752)."""
     sd = solid.xij0.shape[-1]
     u = min_image(sub_pos - solid.sub_pos0, domain_width)[..., :sd]  # [S,sd]
-    uj = u[solid.nbr0]  # [S,K0,sd]
-    xij = solid.xij0 + (uj - u[:, None, :])
-    f_raw = jnp.einsum("nk,nki,nkj->nij", solid.wij0, xij, solid.xij0)
+    # component-major neighbor displacements (see stress_velocity_kick:
+    # trailing small dims on K0-sized buffers tile-pad ~64-256x)
+    u_rows = u.T  # [sd, S]
+    uj = u_rows[:, solid.nbr0]  # [sd, S, K0]
+    w = solid.wij0  # pre-masked weights (zero on empty neighbor slots)
+    cols = []
+    for i in range(sd):
+        xij_i = solid.xij0[..., i] + (uj[i] - u_rows[i][:, None])  # [S, K0]
+        cols.append(jnp.stack(
+            [jnp.sum(w * xij_i * solid.xij0[..., j], axis=1)
+             for j in range(sd)], axis=1))
+    f_raw = jnp.stack(cols, axis=1)  # [S, sd, sd]
     return jnp.einsum("nik,nkj->nij", f_raw, solid.normalizer)
 
 
@@ -298,10 +307,25 @@ def stress_velocity_kick(f, stress, solid: SolidStatic, elastic_dt: float):
         dv_i  = (dtE / rho_i) * sum_j w(xij0) (P_i + P_j) xij0
     """
     p_nom = jnp.einsum("nik,nkl,nlj->nij", f, stress, solid.normalizer)
-    p_j = p_nom[solid.nbr0]  # [S,K0,sd,sd]
-    p_sum = p_nom[:, None, :, :] + p_j
-    f_pair = solid.wij0[..., None] * jnp.einsum("nkij,nkj->nki", p_sum, solid.xij0)
-    kick = jnp.sum(jnp.where(solid.mask0[..., None], f_pair, 0.0), axis=1)
+    sd = p_nom.shape[-1]
+    s_n = p_nom.shape[0]
+    # COMPONENT-MAJOR neighbor stresses: the naive ``p_nom[nbr0]``
+    # materializes [S, K0, sd, sd] whose trailing (2,2)/(3,3) dims tile-pad
+    # (8,128) -> ~256x, i.e. ~2 GB of effective HBM at S=8k/K0=64 --
+    # measured to destabilize 1M-particle FSI runs (intermittent device
+    # UNAVAILABLE).  Gathering from [sd^2, S] instead keeps every buffer
+    # [sd^2, S, K0] with well-tiled trailing dims (~8 MB).
+    p_rows = p_nom.reshape(s_n, sd * sd).T  # [sd2, S]
+    p_j = p_rows[:, solid.nbr0]  # [sd2, S, K0]
+    p_sum = p_j + p_rows[:, :, None]
+    kick_comps = []
+    for a in range(sd):
+        acc = jnp.zeros_like(solid.wij0)  # [S, K0]
+        for b in range(sd):
+            acc = acc + p_sum[a * sd + b] * solid.xij0[..., b]
+        acc = jnp.where(solid.mask0, solid.wij0 * acc, 0.0)
+        kick_comps.append(jnp.sum(acc, axis=1))
+    kick = jnp.stack(kick_comps, axis=1)  # [S, sd]
     return elastic_dt * solid.inv_rho[:, None] * kick
 
 

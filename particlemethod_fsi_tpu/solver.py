@@ -390,17 +390,17 @@ class Simulation:
         names = ["pressure_p"]
         if self._pcfg.surface_tension:
             names += ["pressure_a", "gravity_center"]
-        rows = pk.unsort(frame, *[f1[k] for k in names])
-        # unsorted row order: [real slots | ghost rows | plane-pad rows];
-        # only the ghost rows are overwritten with their sources' values
+        # one i32 argsort + row gathers + a [G]-row scatter beat the round-2
+        # first cut (unsort + resort = three full key sorts with f payloads)
         g = src.shape[0]
-        fixed = [jnp.concatenate(
-            [r[: self.n_pad], r[src], r[self.n_pad + g:]], axis=0)
-            for r in rows]
-        resorted = pk.resort(frame, *fixed)
+        inv = jnp.argsort(frame.orig)
+        slot_rows = inv[: self.n_pad]  # frame row of each original slot
+        ghost_rows = inv[self.n_pad: self.n_pad + g]  # frame row per ghost
         f1 = dict(f1)
-        for k, v in zip(names, resorted):
-            f1[k] = v
+        for k in names:
+            v = f1[k]
+            gvals = v[slot_rows][src]  # each ghost's SOURCE value
+            f1[k] = v.at[ghost_rows].set(gvals)
         if "gc_rows" in f1 and self._pcfg.surface_tension:
             f1["gc_rows"] = f1["gravity_center"].T
         return f1
