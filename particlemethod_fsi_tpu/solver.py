@@ -564,8 +564,18 @@ class Simulation:
 
         def do_skip(c):
             payload = jnp.concatenate([pos, vel], axis=1)[c["orig"]]
-            return (c["orig"], c["key"], c["prop_s"], payload[:, 0:3],
-                    payload[:, 3:6], c["ws"], c["wl"], c["ref_pos"])
+            pos_s, vel_s = payload[:, 0:3], payload[:, 3:6]
+            if self._pad_planes:
+                # 3-D plane-pad rows have orig >= n_pad (out of slot range):
+                # the gather above CLAMPS them to slot n_pad-1, un-poisoning
+                # rows whose cached key is a real cell -- they would pass the
+                # ring mask and act as phantom senders.  Re-poison them
+                # (pad_frame_planes convention: pos=1e9, vel=0).
+                valid = (c["orig"] < self.n_pad)[:, None]
+                pos_s = jnp.where(valid, pos_s, 1.0e9)
+                vel_s = jnp.where(valid, vel_s, 0.0)
+            return (c["orig"], c["key"], c["prop_s"], pos_s,
+                    vel_s, c["ws"], c["wl"], c["ref_pos"])
 
         orig, key, prop_s, pos_s, vel_s, ws, wl, ref_pos = jax.lax.cond(
             disp2 > self._rebuild_thresh2, do_rebuild, do_skip, cache)

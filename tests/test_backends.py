@@ -150,3 +150,23 @@ def test_rebuild_margin_c8_matches():
     b = to_numpy(sim1.run_chunk(sim1.state0, 12), grid.n)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
+
+
+def test_rebuild_margin_c8_matches_3d():
+    """3-D variant of the C8 parity test: the cached-skip path regathers
+    pos/vel by frame ``orig``, and 3-D plane-pad rows (orig >= n_pad,
+    pad_frame_planes) clamp in that gather -- they must be re-poisoned or
+    they become phantom senders (round-2 advisor finding; the 2-D test
+    cannot catch this because 2-D frames have no plane padding)."""
+    from cases import config_3d, mini_dam_3d
+
+    grid = mini_dam_3d()
+    cfg0 = config_3d(backend="pallas_t", pallas_block=32, pallas_wmax=256)
+    cfg1 = config_3d(backend="pallas_t", pallas_block=32, pallas_wmax=256,
+                     rebuild_margin=1.0)
+    sim0, sim1 = Simulation(cfg0, grid), Simulation(cfg1, grid)
+    assert sim1._margin_cached and sim1._pad_planes
+    a = to_numpy(sim0.run_chunk(sim0.state0, 12), grid.n)
+    b = to_numpy(sim1.run_chunk(sim1.state0, 12), grid.n)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
