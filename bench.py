@@ -7,14 +7,45 @@ The reference publishes no performance numbers (README is one line, no
 benchmarks directory -- see BASELINE.md); ``vs_baseline`` is measured
 against the north-star target of 1e8 particle-steps/s/chip (1M particles at
 >100 steps/s on one chip, /root/repo/BASELINE.json).
+
+Artifact-robustness contract (round-2 verdict item 1: BENCH_r02 recorded
+rc=124/parsed=null because a wedged device produced a silent hang, which
+the old in-process exception ladder could not catch):
+
+* every (backend, size) attempt runs in a SUBPROCESS with a hard
+  wall-clock cap -- a hang or an over-budget compile falls through the
+  size ladder exactly like an exception;
+* transient device errors (``UNAVAILABLE``, the documented axon-tunnel
+  flake) get one retry before degrading;
+* the JAX persistent compilation cache (.jax_cache/) amortizes the
+  minutes-scale 1M compile across runs on the same machine;
+* a global budget (env BENCH_BUDGET_S, default 540 s) is self-managed so
+  a JSON line is printed before any external driver timeout.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization; never let it block the measurement
 
 
 def build_case(n_side: int, backend: str = "packed", **numerics_kw):
@@ -85,43 +116,87 @@ def _measure(n_side: int, backend: str):
     return n, float(np.median(times))
 
 
-def main():
-    import sys
-    import traceback
+def _child(backend: str, n_side: int) -> int:
+    """Subprocess entry: one attempt, JSON on stdout, tracebacks on stderr."""
+    _enable_compile_cache()
+    n, step_s = _measure(n_side, backend)
+    value = n / step_s
+    print(json.dumps({
+        "metric": f"particle-steps/s/chip, {n}-particle 2-D "
+                  f"dam-break FSI (coupled fluid+elastic bar), "
+                  f"{backend} backend",
+        "value": round(value, 1),
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": round(value / 1.0e8, 4),
+        "step_ms": round(step_s * 1000, 3),
+        "particles": n,
+        "backend": backend,
+    }), flush=True)
+    return 0
 
-    # prefer the pallas window-sweep backend at the DEFINED benchmark size
-    # (~1M particles: n_side=1000 -> 1000^2 fluid + bar + walls; the tracked
-    # metric is particle-steps/s/chip at 1M, BASELINE.json); degrade
-    # gracefully (backend fallback, smaller sizes) so the bench always
-    # reports a number, and RECORD why it degraded in the JSON itself
+
+def main():
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "540"))
+    # the defined benchmark size is ~1M particles (n_side=1000 -> 1000^2
+    # fluid + bar + walls; tracked metric is psteps/s/chip at 1M,
+    # BASELINE.json); the ladder degrades toward small/portable attempts
+    # that compile in seconds so SOME number is always recorded
+    ladder = [("pallas_t", 1000), ("pallas_t", 700), ("pallas", 700),
+              ("pallas_t", 350), ("packed", 350), ("pallas_t", 150),
+              ("packed", 150)]
     fallbacks = []
-    for backend in ("pallas_t", "pallas", "packed"):
-        for n_side in (1000, 700, 350, 150):
+    for backend, n_side in ladder:
+        retries = 1  # one retry on transient device errors
+        while True:
+            remaining = deadline - time.time()
+            # big attempts get most of the budget but must leave enough for
+            # at least one quick fallback rung (75 s reserve); small rungs
+            # compile in seconds and are individually capped
+            if n_side >= 700:
+                cap = min(remaining - 75, 450)
+            else:
+                cap = min(remaining - 15, 100)
+            if cap < (30 if n_side >= 700 else 15):
+                fallbacks.append(f"{backend}@{n_side}: global budget exhausted")
+                break
             try:
-                n, step_s = _measure(n_side, backend)
-            except Exception as e:  # OOM / compile failure -> degrade
-                reason = f"{backend}@{n_side}: {type(e).__name__}: {e}"
-                fallbacks.append(reason.splitlines()[0][:200])
-                traceback.print_exc(file=sys.stderr)
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", backend, str(n_side)],
+                    capture_output=True, text=True, timeout=max(cap, 5),
+                )
+            except subprocess.TimeoutExpired:
+                fallbacks.append(f"{backend}@{n_side}: wall-clock timeout "
+                                 f"after {cap:.0f}s")
+                break
+            if proc.returncode == 0:
+                for line in proc.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        out = json.loads(line)
+                        if fallbacks:
+                            out["degraded_from"] = fallbacks
+                        print(json.dumps(out), flush=True)
+                        return
+                fallbacks.append(f"{backend}@{n_side}: rc=0 but no JSON line")
+                break
+            tail = "\n".join(proc.stderr.splitlines()[-25:])
+            transient = ("UNAVAILABLE" in tail or "DEADLINE_EXCEEDED" in tail
+                         or "tunnel" in tail.lower())
+            reason = (tail.splitlines()[-1][:200] if tail.splitlines()
+                      else f"rc={proc.returncode}")
+            fallbacks.append(f"{backend}@{n_side}: {reason}")
+            print(f"bench attempt {backend}@{n_side} failed "
+                  f"(transient={transient}): {reason}", file=sys.stderr)
+            if transient and retries > 0:
+                retries -= 1
+                time.sleep(5)  # let the tunnel recover
                 continue
-            value = n / step_s
-            out = {
-                "metric": f"particle-steps/s/chip, {n}-particle 2-D "
-                          f"dam-break FSI (coupled fluid+elastic bar), "
-                          f"{backend} backend",
-                "value": round(value, 1),
-                "unit": "particle-steps/s/chip",
-                "vs_baseline": round(value / 1.0e8, 4),
-                "step_ms": round(step_s * 1000, 3),
-                "particles": n,
-                "backend": backend,
-            }
-            if fallbacks:
-                out["degraded_from"] = fallbacks
-            print(json.dumps(out))
-            return
+            break
     raise SystemExit(f"bench failed at all sizes/backends: {fallbacks}")
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--child":
+        raise SystemExit(_child(sys.argv[2], int(sys.argv[3])))
     main()

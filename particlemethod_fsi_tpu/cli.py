@@ -166,6 +166,8 @@ def run(args) -> int:
     #                     scan donates device buffers, so a saved device
     #                     state would be deleted by the next chunk
     retries = 2  # watchdog auto-recovery budget (halve dt per retry)
+    orig_dt, orig_elastic_dt = cfg.dt, cfg.elastic_dt
+    restore_at = None  # time at which a halved recovery dt is restored
 
     dt = cfg.dt
     time = grid.time
@@ -206,6 +208,12 @@ def run(args) -> int:
         # window lengths are handled exactly by the chunked Pallas sweep;
         # reported only as a perf signal (longer windows = more DMA chunks)
         wmax_used = int(d.get("window_overflow", 0))
+        ghost_over = int(d.get("ghost_overflow", 0))
+        if ghost_over:
+            log.printf("WARNING: ghost capacity overflow %d at t=%e "
+                       "(cross-boundary pairs dropped since last output; "
+                       "the spec refresh below resizes capacities)\n",
+                       ghost_over, time)
         # conservation sanity: kinetic energy + linear momentum of the
         # mobile particles (the VTK-cadence observability channel the
         # reference exposes only via ParaView post-processing)
@@ -218,10 +226,12 @@ def run(args) -> int:
                    max_speed=float(d["max_speed"]),
                    neighbor_max=int(d["neighbor_count"].max()),
                    cell_overflow=int(d["cell_overflow"]),
+                   ghost_overflow=ghost_over,
                    window_len=wmax_used,
                    kinetic_energy=ke,
                    momentum_x=float(mv[:, 0].sum()),
-                   momentum_y=float(mv[:, 1].sum()))
+                   momentum_y=float(mv[:, 1].sum()),
+                   momentum_z=float(mv[:, 2].sum()))
 
     log.printf("start main roop at %s\n", _time.ctime())
     t_start = _time.time()
@@ -259,7 +269,19 @@ def run(args) -> int:
                 state = sim.state0
                 time = t_good
                 i_step = int(round(time / dt))
+                restore_at = t_good + cfg.output_interval
                 continue
+        if restore_at is not None and dt < orig_dt and time + eps >= restore_at:
+            # survived a full output interval on the halved dt: restore the
+            # configured step size (a permanent halving would silently run
+            # the rest of the case at twice the cost)
+            dt = orig_dt
+            cfg = cfg.replace(dt=orig_dt, elastic_dt=orig_elastic_dt)
+            log.printf("WATCHDOG: stable since recovery; restoring dt=%e\n", dt)
+            sim = Simulation(cfg, snapshot())
+            state = sim.state0
+            i_step = int(round(time / dt))
+            restore_at = None
         if time + eps >= output_next:
             write_grid_file(snapshot(), args.prof % i_step)
             if args.checkpoint:
@@ -273,6 +295,11 @@ def run(args) -> int:
             write_vtk(args.vtk % i_step)
             log.printf("@ Vtk Output Time : %e\n", time)
             vtk_next += cfg.vtk_output_interval
+            # periodic-wrap coverage can go stale mid-run (the ghost plan is
+            # sized from t=0 strips); recheck host-side at output cadence
+            if sim.refresh_ghosts(state):
+                log.printf("ghost spec refreshed at t=%e (wrap coverage / "
+                           "capacity changed; step re-jitted)\n", time)
         c_other += _time.time() - t0
 
         # advance to the next output boundary fully on-device

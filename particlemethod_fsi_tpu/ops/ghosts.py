@@ -112,6 +112,48 @@ def build_ghost_spec(grid: CellGrid, axes: tuple[bool, bool, bool],
                      support=support)
 
 
+def spec_axes(spec: Optional[GhostSpec]) -> tuple[bool, bool, bool]:
+    """Wrapped axes a spec covers (axes with any nonzero image shift)."""
+    axes = [False, False, False]
+    if spec is not None:
+        for s in spec.shifts:
+            for d in range(3):
+                axes[d] |= s[d] != 0
+    return tuple(axes)
+
+
+def spec_is_stale(spec: Optional[GhostSpec], base_grid: CellGrid, positions,
+                  valid, support: float, axes_now: tuple[bool, bool, bool],
+                  *, headroom: float = 1.25) -> bool:
+    """Host-side check (output cadence) that the t=0 ghost plan still covers
+    the CURRENT particle distribution.
+
+    The wrap decision and capacities are sized once from t=0 strips
+    (build_ghost_spec); a scene whose fluid later piles against a boundary
+    that was initially empty -- or fills a strip past its 2x margin --
+    would silently miss cross-boundary pairs.  Stale when (a) an axis wraps
+    now but is not covered, or (b) any image strip's current occupancy is
+    within ``headroom`` of its fixed capacity."""
+    covered = spec_axes(spec)
+    if any(a and not c for a, c in zip(axes_now, covered)):
+        return True
+    if spec is None:
+        return False
+    pos = np.asarray(positions)[np.asarray(valid)]
+    lo = np.asarray(base_grid.domain_min)
+    hi = lo + np.asarray(base_grid.domain_width)
+    for s, cap in zip(spec.shifts, spec.caps):
+        m = np.ones(pos.shape[0], dtype=bool)
+        for d in range(3):
+            if s[d] > 0:
+                m &= pos[:, d] < lo[d] + support
+            elif s[d] < 0:
+                m &= pos[:, d] >= hi[d] - support
+        if int(m.sum()) * headroom > cap:
+            return True
+    return False
+
+
 def _compact(mask, cap: int):
     """Indices of the first ``cap`` True rows + validity mask + overflow.
 

@@ -381,12 +381,13 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         go_left = valid & (pos[:, 0] < slab_lo)
         go_right = valid & (pos[:, 0] >= slab_hi)
         propf = prop.astype(dtype)
-        oidf = oid.astype(dtype)
-
+        # oid stays int32 end-to-end (lax.sort and ppermute both take mixed
+        # dtypes): riding as f32 would round slot ids above 2^24 (~16.7M
+        # particles) and silently corrupt to_slot_state's restoration
         (lf, lp, lv, lp0, lo), lmask, lover = _extract(
-            mig, go_left, propf, pos, vel, pos0, oidf)
+            mig, go_left, propf, pos, vel, pos0, oid)
         (rf, rp, rv, rp0, ro), rmask, rover = _extract(
-            mig, go_right, propf, pos, vel, pos0, oidf)
+            mig, go_right, propf, pos, vel, pos0, oid)
         lf = jnp.where(lmask, lf, -1.0)
         rf = jnp.where(rmask, rf, -1.0)
 
@@ -401,12 +402,12 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         all_pos = jnp.concatenate([pos, recv_right[1], recv_left[1]])
         all_vel = jnp.concatenate([vel, recv_right[2], recv_left[2]])
         all_pos0 = jnp.concatenate([pos0, recv_right[3], recv_left[3]])
-        all_oid = jnp.concatenate([oidf, recv_right[4], recv_left[4]])
-        (propf2, pos, vel, pos0, oidf2), cmask, cover = _extract(
+        all_oid = jnp.concatenate([oid, recv_right[4], recv_left[4]])
+        (propf2, pos, vel, pos0, oid2), cmask, cover = _extract(
             cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0, all_oid
         )
         prop = jnp.where(cmask, propf2, -1.0).astype(jnp.int32)
-        oid = jnp.where(cmask, oidf2, -1.0).astype(jnp.int32)
+        oid = jnp.where(cmask, oid2, -1)
         valid = prop >= 0
 
         # --- halo strips (one support radius inside each edge) ------------

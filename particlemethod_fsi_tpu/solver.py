@@ -153,30 +153,7 @@ class Simulation:
         if self._backend == "auto":
             self._backend = "pallas_t" if not self._pallas_interpret else "packed"
         self._ghosts = None
-        if self._backend in ("pallas", "pallas_t"):
-            axes = gh.wrapped_axes(
-                self.cell_grid, grid.position, grid.prop >= 0,
-                self.kernels.support_radius, cfg.two_dimensional,
-            )
-            if any(axes):
-                self._ghosts = gh.build_ghost_spec(
-                    self.cell_grid, axes, grid.position, grid.prop >= 0,
-                    self.kernels.support_radius,
-                )
-                import logging
-
-                logging.getLogger(__name__).info(
-                    "pallas backend: periodic wrap on axes %s via %d ghost "
-                    "rows", axes, self._ghosts.total_capacity,
-                )
-        self._frame_grid = (self._ghosts.grid if self._ghosts is not None
-                            else self.cell_grid)
-        # 3-D: plane-align the sorted frame so no receiver block spans a
-        # z-plane boundary (whose windows would cover a full plane; see
-        # packed_engine.pad_frame_planes)
-        self._pad_planes = (not cfg.two_dimensional
-                            and self._backend in ("pallas", "pallas_t")
-                            and self._frame_grid.cell_count[2] > 1)
+        self._rebuild_ghosts(grid.position, grid.prop >= 0)
         if (self._backend == "pallas_t"
                 and self._frame_grid.num_cells >= (1 << 24)):
             # cell keys ride as f32 lanes in the transposed layout
@@ -204,6 +181,66 @@ class Simulation:
         self._diag_jit = jax.jit(self._diagnostics)
 
     # ------------------------------------------------------------------
+    def _rebuild_ghosts(self, positions, valid):
+        """(Re)build the periodic ghost plan + frame grid from the given
+        positions (pallas backends only; windows clip at the domain edge, so
+        cross-boundary pairs need ghost duplication, ops/ghosts.py)."""
+        if self._backend not in ("pallas", "pallas_t"):
+            self._frame_grid = self.cell_grid
+            self._pad_planes = False
+            return
+        axes = gh.wrapped_axes(
+            self.cell_grid, positions, valid,
+            self.kernels.support_radius, self.cfg.two_dimensional,
+        )
+        # never drop an already-covered axis (a boundary strip can empty
+        # transiently; re-adding later would cost another recompile)
+        axes = tuple(a or c for a, c in zip(axes, gh.spec_axes(self._ghosts)))
+        self._ghosts = None
+        if any(axes):
+            self._ghosts = gh.build_ghost_spec(
+                self.cell_grid, axes, positions, valid,
+                self.kernels.support_radius,
+            )
+            import logging
+
+            logging.getLogger(__name__).info(
+                "pallas backend: periodic wrap on axes %s via %d ghost "
+                "rows", axes, self._ghosts.total_capacity,
+            )
+        self._frame_grid = (self._ghosts.grid if self._ghosts is not None
+                            else self.cell_grid)
+        # 3-D: plane-align the sorted frame so no receiver block spans a
+        # z-plane boundary (whose windows would cover a full plane; see
+        # packed_engine.pad_frame_planes)
+        self._pad_planes = (not self.cfg.two_dimensional
+                            and self._frame_grid.cell_count[2] > 1)
+
+    def refresh_ghosts(self, state: ParticleState) -> bool:
+        """Output-cadence host check that the periodic-wrap plan (sized from
+        t=0 strips) still covers the CURRENT distribution
+        (ghosts.spec_is_stale): an axis can start wrapping mid-run, or a
+        strip can outgrow its fixed capacity.  Rebuilds the ghost spec and
+        re-jits the step when stale.  Returns True on rebuild (callers
+        should log the recompile)."""
+        if self._backend not in ("pallas", "pallas_t"):
+            return False
+        pos = np.asarray(state.pos)
+        valid = np.asarray(state.prop) >= 0
+        axes_now = gh.wrapped_axes(
+            self.cell_grid, pos, valid, self.kernels.support_radius,
+            self.cfg.two_dimensional,
+        )
+        if not gh.spec_is_stale(self._ghosts, self.cell_grid, pos, valid,
+                                self.kernels.support_radius, axes_now):
+            return False
+        self._rebuild_ghosts(pos, valid)
+        self._step_jit = jax.jit(self._step)
+        self._chunk_jit = jax.jit(self._chunk, static_argnums=1,
+                                  donate_argnums=0)
+        self._diag_jit = jax.jit(self._diagnostics)
+        return True
+
     def _is_planar(self, grid: GridData) -> bool:
         """Host-side check that the case is exactly planar (2-D scenes in the
         reference's TWO_DIMENSIONAL sense): all z coordinates identical, all
@@ -364,14 +401,17 @@ class Simulation:
         return force, fields
 
     def _frame_inputs(self, pos, vel, prop):
-        """Frame-source arrays for the pallas backends: (pos, vel, prop,
-        ghost_src) -- identity + None, or the ghost-extended copies for
-        periodic scenes (ops/ghosts.py)."""
+        """Frame-source arrays for the pallas backends: ((pos, vel, prop),
+        ghost_src, overflow) -- identity + None + 0, or the ghost-extended
+        copies for periodic scenes (ops/ghosts.py).  ``overflow`` counts
+        strip members beyond the fixed ghost capacity; diagnostics surface
+        it at output cadence (the step path cannot abort mid-scan, but the
+        CLI warns/refreshes on a nonzero count -- never silent)."""
         if self._ghosts is None:
-            return (pos, vel, prop), None
-        pos_e, vel_e, prop_e, src, _ = gh.extend_with_ghosts(
+            return (pos, vel, prop), None, jnp.zeros((), jnp.int32)
+        pos_e, vel_e, prop_e, src, overflow = gh.extend_with_ghosts(
             self._ghosts, self.cell_grid, pos, vel, prop, self.n_pad)
-        return (pos_e, vel_e, prop_e), src
+        return (pos_e, vel_e, prop_e), src, overflow
 
     def _pallas_frame(self, pos, vel, prop):
         """Sorted (and, in 3-D, plane-aligned) frame for the window sweeps."""
@@ -420,7 +460,7 @@ class Simulation:
                 )
             else:
                 fgrid = self._frame_grid
-                finputs, gsrc = self._frame_inputs(pos, vel, prop)
+                finputs, gsrc, _ = self._frame_inputs(pos, vel, prop)
                 frame = self._pallas_frame(*finputs)
                 pcfg = self._pcfg
                 if backend == "pallas_t":
@@ -641,7 +681,7 @@ class Simulation:
             # kernels: the packed candidate graph compiles for minutes at
             # large N (301 s at 125k particles measured on v5e)
             fgrid = self._frame_grid
-            finputs, gsrc = self._frame_inputs(pos, vel, prop)
+            finputs, gsrc, ghost_over = self._frame_inputs(pos, vel, prop)
             frame = self._pallas_frame(*finputs)
             pcfg = self._pcfg
             if self._backend == "pallas_t":
@@ -684,6 +724,7 @@ class Simulation:
                 frame.key, jnp.arange(fgrid.num_cells + 1, dtype=jnp.int32)
             )
             f1["cell_overflow"] = jnp.max(cs[1:] - cs[:-1])
+            f1["ghost_overflow"] = ghost_over
         else:
             frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
                                   with_cell_start=True)
@@ -741,6 +782,7 @@ class Simulation:
             neighbor_count=nbr_count.astype(jnp.int32),
             initial_neighbor_count=self.solid.count0_full,
             cell_overflow=f1["cell_overflow"],
+            ghost_overflow=f1.get("ghost_overflow", jnp.zeros((), jnp.int32)),
             window_overflow=self._window_overflow(frame),
             virial_rows=jnp.stack(virial_rows),
             virial_pressure=vp,
