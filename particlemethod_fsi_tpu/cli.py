@@ -374,8 +374,9 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
         mstate = ha.partition_state(sim, mesh, hcfg, splits=splits,
                                     state=state0)
         _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
-        log.printf("halo: capacity=%d migration_cap=%d halo_cap=%d\n",
-                   hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap)
+        log.printf("halo: capacity=%d migration_cap=%d halo_cap=%d engine=%s\n",
+                   hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap,
+                   ha.make_halo_step.last_engine)
 
         def advance(ms, n):
             ms, over = run_chunk(ms, n)

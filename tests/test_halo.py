@@ -188,3 +188,116 @@ def test_equal_count_splits_where_equal_width_overflows():
     assert int(overflow) == 0
     out = halo.gather_state(sim, state)
     assert out["prop"].shape[0] == grid.n  # nothing lost
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_halo_pallas_t_matches_single_chip(ndev):
+    """Halo mode with the pallas_t window-sweep LOCAL engine (the
+    single-chip fast path wired into the slab decomposition; round-2
+    verdict item 2) must track single-chip pallas_t on coupled FSI."""
+    from cases import mini_fsi
+    from particlemethod_fsi_tpu.config import SCENES
+
+    grid = mini_fsi()
+    cfg = dam_like_config(backend="pallas_t", pallas_block=32,
+                          pallas_wmax=128).replace(
+        scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+    sim = Simulation(cfg, grid)
+
+    s_single = sim.state0
+    for _ in range(8):
+        s_single = sim.step(s_single)
+    ref = to_numpy(s_single, grid.n)
+
+    mesh = make_mesh(ndev)
+    step, _run, hcfg = halo.make_halo_step(sim, mesh)
+    assert halo.make_halo_step.last_engine == "pallas_t"
+    state = halo.partition_state(sim, mesh, hcfg)
+    for _ in range(8):
+        state, overflow = step(state)
+        assert int(overflow) == 0
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n
+
+    a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
+                       ref["vel"][: grid.n])
+    b = _sorted_by_pos(out["prop"], out["pos"], out["vel"])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
+
+
+def _periodic_channel_grid():
+    """x-periodic channel: fluid strip spanning the full x extent between
+    bottom walls, drifting +x so particles wrap the boundary mid-test."""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+
+    L0 = 1.0e-3
+    grid = generate_grid(BoidScene(
+        particle_distance=L0,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(32 * L0, 14 * L0, L0),
+        primitives=[
+            Primitive("Cuboid", spacing=L0, type=4, lower=(0, 0, 0),
+                      upper=(32 * L0, 3 * L0, L0)),
+            Primitive("Cuboid", spacing=L0, type=1, lower=(0, 3 * L0, 0),
+                      upper=(32 * L0, 9 * L0, L0)),
+        ],
+    ))
+    grid.velocity[grid.prop == 1, 0] = 2.0  # wrap within a few steps
+    return grid
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_halo_pallas_t_x_periodic_wrap(ndev):
+    """x-periodic scene on the pallas_t halo path: cross-global-boundary
+    pairs ride the ring-shifted ghost layer, and particles that wrap
+    xmax->x0 must migrate ONE hop along the ring (destination-based
+    routing), matching single-chip pallas_t (which uses ops/ghosts.py)."""
+    grid = _periodic_channel_grid()
+    cfg = dam_like_config(backend="pallas_t", pallas_block=32,
+                          pallas_wmax=128)
+    sim = Simulation(cfg, grid)
+    assert sim._ghosts is not None  # single chip wraps x via ghosts
+    import particlemethod_fsi_tpu.ops.ghosts as gh_mod
+    assert gh_mod.spec_axes(sim._ghosts) == (True, False, False)
+
+    steps = 14  # at vx=2, dt=1e-4: boundary particles wrap within ~5 steps
+    s_single = sim.state0
+    for _ in range(steps):
+        s_single = sim.step(s_single)
+    ref = to_numpy(s_single, grid.n)
+
+    mesh = make_mesh(ndev)
+    step, _run, hcfg = halo.make_halo_step(sim, mesh)
+    assert halo.make_halo_step.last_engine == "pallas_t"
+    state = halo.partition_state(sim, mesh, hcfg)
+
+    def x_by_oid(s):
+        oid = np.asarray(s.oid)
+        ok = np.asarray(s.prop) >= 0
+        out = np.full(sim.n_pad, np.nan)
+        out[oid[ok]] = np.asarray(s.pos)[ok, 0]
+        return out
+
+    wrapped = False
+    prev_x = x_by_oid(state)
+    for _ in range(steps):
+        state, overflow = step(state)
+        assert int(overflow) == 0
+        x = x_by_oid(state)
+        with np.errstate(invalid="ignore"):
+            wrapped |= bool(np.any(prev_x - x > 20e-3))  # xmax -> x0 jump
+        prev_x = x
+    assert wrapped, "test scene never exercised the periodic wrap"
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n
+
+    a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
+                       ref["vel"][: grid.n])
+    b = _sorted_by_pos(out["prop"], out["pos"], out["vel"])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
