@@ -157,6 +157,11 @@ class NumericsConfig:
     # fewer wasted pair slots per receiver at the cost of more windows.
     # Measured on v5e at 1M: (128, 256, 2) is the optimum.
     pallas_subblocks: int = 2
+    # pallas_t only: evaluate all cell-row offsets in one [B, n_off*wmax]
+    # pass per chunk (concurrent per-offset DMAs) instead of n_off separate
+    # loops.  Measured slower in 2-D at 1M (the phases are pair-math bound);
+    # tuning knob for 3-D scenes where n_off = 9.
+    pallas_merged: bool = False
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
     # max particles per cell-list bucket (packed/gather engines + halo's

@@ -81,6 +81,15 @@ class PallasConfig(NamedTuple):
     # per-step overhead seen by a no-op probe kernel hides under DMA/compute)
     # so default 1 to keep compiles fast; driver clamps to a divisor
     subblocks: int = 1
+    # pallas_t only: evaluate all cell-row offsets in ONE [B, n_off*wmax]
+    # pass per chunk index (concurrent per-offset DMAs into lane slices of a
+    # shared scratch slab) instead of n_off separate fori_loops -- cuts the
+    # per-(block, offset) loop/DMA scaffolding n_off-fold.  Measured SLOWER
+    # in 2-D at 1M (65.5 vs 60.0 ms/step, 3 row offsets: the phases are
+    # pair-math bound, not scaffolding bound), so default off; kept as a
+    # tuning knob for 3-D scenes where n_off is 9 and the scaffolding share
+    # is proportionally larger.
+    merged: bool = False
 
 
 def row_offsets(grid: CellGrid):

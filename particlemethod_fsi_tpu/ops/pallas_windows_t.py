@@ -90,7 +90,7 @@ class _Rec(NamedTuple):
     pid: jax.Array
 
 
-def _ring_and_geom(rec: _Rec, win, *, off: int, planar: bool, key_row: int):
+def _ring_and_geom(rec: _Rec, win, *, off, planar: bool, key_row: int):
     """[B, W] pair ring mask and geometry from a field-major window.
 
     ring: the sender's sort key must be in {key_i + off - 1, ..., + 1} --
@@ -99,8 +99,12 @@ def _ring_and_geom(rec: _Rec, win, *, off: int, planar: bool, key_row: int):
     mask: pad rows carry the sentinel key (>> any live key + 1, so outside
     every ring), and self-pairs are excluded by the callers' ``rij2 > 0``
     term -- which also excluded coincident distinct pairs before, so the
-    per-slot id tests the round-1 kernels carried were fully redundant."""
-    dk = win[key_row:key_row + 1, :] - (rec.key + float(off))
+    per-slot id tests the round-1 kernels carried were fully redundant.
+
+    ``off`` is a static int (per-offset sweep) or a [1, W] per-lane row
+    (merged sweep: all offsets' windows side by side in one pass)."""
+    off_b = float(off) if isinstance(off, (int, float)) else off
+    dk = win[key_row:key_row + 1, :] - (rec.key + off_b)
     m = (dk >= -1.0) & (dk <= 1.0)
     dxx = win[0:1, :] - rec.x
     dyy = win[1:2, :] - rec.y
@@ -108,6 +112,60 @@ def _ring_and_geom(rec: _Rec, win, *, off: int, planar: bool, key_row: int):
         return m, (dxx, dyy, None), dxx * dxx + dyy * dyy
     dzz = win[2:3, :] - rec.z
     return m, (dxx, dyy, dzz), dxx * dxx + dyy * dyy + dzz * dzz
+
+
+
+def _merged_sweep(pair_math, packed_ref, win_scratch, sems, starts, chunks,
+                  offs, cfg: PallasConfig, accs, dtype):
+    """One [B, n_off*wmax] pass per chunk index instead of n_off separate
+    fori_loops: all offsets' window chunks DMA CONCURRENTLY into side-by-side
+    lane slices of one scratch slab, and the pair math runs once over the
+    merged slab with a per-lane offset row.  Cuts the per-(block, offset)
+    loop/DMA scaffolding ~n_off-fold -- the measured bottleneck at 1M
+    particles (ARCHITECTURE.md round-2 findings; round-2 verdict item 3).
+
+    Offsets whose window is shorter than the longest one re-copy their last
+    chunk (bounded, in-range) and are killed by the per-slice validity
+    mask."""
+    n_off = len(offs)
+
+    def kk(o, k):
+        return jnp.minimum(k, chunks[o] - 1)
+
+    def chunk_copy(o, k, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(starts[o] + kk(o, k) * cfg.wmax, cfg.wmax)],
+            win_scratch.at[slot, :, pl.ds(o * cfg.wmax, cfg.wmax)],
+            sems.at[slot, o],
+        )
+
+    max_nch = chunks[0]
+    for o in range(1, n_off):
+        max_nch = jnp.maximum(max_nch, chunks[o])
+    for o in range(n_off):
+        chunk_copy(o, 0, 0).start()
+    off_row = jnp.concatenate(
+        [jnp.full((1, cfg.wmax), float(offs[o]), dtype) for o in range(n_off)],
+        axis=1)
+
+    def body(k, accs):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        for o in range(n_off):
+            chunk_copy(o, k, slot).wait()
+
+        @pl.when(k + 1 < max_nch)
+        def _():
+            for o in range(n_off):
+                chunk_copy(o, k + 1, 1 - slot).start()
+
+        lane_valid = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.where(k < chunks[o], 1.0, 0.0).astype(dtype),
+                (1, cfg.wmax)) for o in range(n_off)], axis=1) > 0.5
+        win = win_scratch[slot]  # [W_S, n_off*wmax]
+        return pair_math(win, off_row, lane_valid, accs)
+
+    return jax.lax.fori_loop(0, max_nch, body, accs)
 
 
 def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
@@ -137,12 +195,84 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
         else:
             ir_i = None
 
-        def chunk_copy(o, a0, k, slot):
-            return pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(a0 + k * cfg.wmax, cfg.wmax)],
-                win_scratch.at[o, slot],
-                sems.at[o, slot],
-            )
+        def p1_math(win, off_b, lane_valid, accs):
+            m, xij, rij2 = _ring_and_geom(
+                rec, win, off=off_b, planar=cfg.planar, key_row=6)
+            m = m & (rij2 > 0)
+            if lane_valid is not None:
+                m = m & lane_valid
+            r2s = jnp.where(m, rij2, 1.0)
+            inv_r = jax.lax.rsqrt(r2s)
+            rij = r2s * inv_r
+            acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, *acc_c = accs
+
+            # family masks carry their own radius tests; the support
+            # pre-test is redundant for physics (radius_X <= support)
+            m_p = m & (ks.radius_p**2 - rij2 >= 0)
+            q_p = rij * (1.0 / ks.radius_p)
+            omq_p = 1.0 - q_p
+
+            if cfg.surface_tension:
+                if with_ratio:
+                    prop_j = win[8:9, :]
+                    ratio_ij = jnp.zeros_like(rij)
+                    for t in range(TYPE_COUNT):
+                        ratio_ij = ratio_ij + jnp.where(
+                            prop_j == float(t), ir_i[:, t:t + 1], 0.0)
+                else:
+                    ratio_ij = 1.0
+                if cfg.uniform_radii:
+                    m_a = m_g = m_p
+                    q_a = q_p
+                    omq_a2 = omq_p * omq_p
+                    omq_g2 = omq_a2
+                else:
+                    m_a = m & (ks.radius_a**2 - rij2 >= 0)
+                    m_g = m & (ks.radius_g**2 - rij2 >= 0)
+                    q_a = rij * (1.0 / ks.radius_a)
+                    omq_a2 = (1.0 - q_a) ** 2
+                    q_g = rij * (1.0 / ks.radius_g)
+                    omq_g2 = (1.0 - q_g) ** 2
+                # densityA (wa kernel; src/main.cpp:2141-2171)
+                wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * omq_a2
+                acc_da = acc_da + jnp.sum(
+                    jnp.where(m_a, ratio_ij * wa, 0.0), axis=1,
+                    keepdims=True)
+                # gravity center (wg; :2174-2210)
+                wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * omq_g2
+                w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g,
+                                 0.0)
+                acc_gx = acc_gx + jnp.sum(xij[0] * w_gc, axis=1,
+                                          keepdims=True)
+                acc_gy = acc_gy + jnp.sum(xij[1] * w_gc, axis=1,
+                                          keepdims=True)
+                if not cfg.planar:
+                    acc_gz = acc_gz + jnp.sum(xij[2] * w_gc, axis=1,
+                                              keepdims=True)
+
+            # wp sum + divergence (:2314-2379); constant norms hoisted
+            # out of the pair math (linear sums -> scaled at the end)
+            omq2 = omq_p * omq_p
+            acc_wp = acc_wp + jnp.sum(jnp.where(m_p, omq2, 0.0), axis=1,
+                                      keepdims=True)
+            ux = win[3:4, :] - vx_i
+            uy = win[4:5, :] - vy_i
+            udotx = ux * xij[0] + uy * xij[1]
+            if not cfg.planar:
+                uz = win[5:6, :] - vz_i
+                udotx = udotx + uz * xij[2]
+            acc_div = acc_div + jnp.sum(
+                jnp.where(m_p, (udotx * inv_r) * omq_p, 0.0), axis=1,
+                keepdims=True)
+
+            if count:
+                (acc_cnt,) = acc_c
+                m_sup = m & (rij2 <= support * support)
+                acc_cnt = acc_cnt + jnp.sum(
+                    jnp.where(m_sup, 1.0, 0.0), axis=1, keepdims=True)
+                acc_c = [acc_cnt]
+            return (acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div,
+                    *acc_c)
 
         starts = []
         chunks = []
@@ -151,99 +281,38 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
                                       win_len_ref[o, b], cfg.wmax)
             starts.append(a0)
             chunks.append(nch)
-            chunk_copy(o, a0, 0, 0).start()
 
         n_acc = 7 if count else 6
         accs = tuple(jnp.zeros((bsz, 1), dtype) for _ in range(n_acc))
-        for o in range(n_off):
-            a0, nch = starts[o], chunks[o]
+        if cfg.merged:
+            accs = _merged_sweep(
+                p1_math, packed_ref, win_scratch, sems, starts, chunks,
+                offs, cfg, accs, dtype)
+        else:
+            def chunk_copy(o, a0, k, slot):
+                return pltpu.make_async_copy(
+                    packed_ref.at[:, pl.ds(a0 + k * cfg.wmax, cfg.wmax)],
+                    win_scratch.at[o, slot],
+                    sems.at[o, slot],
+                )
 
-            def body(k, accs, o=o, a0=a0, nch=nch):
-                slot = jax.lax.rem(k, jnp.int32(2))
-                chunk_copy(o, a0, k, slot).wait()
+            for o in range(n_off):
+                chunk_copy(o, starts[o], 0, 0).start()
+            for o in range(n_off):
+                a0, nch = starts[o], chunks[o]
 
-                @pl.when(k + 1 < nch)
-                def _():
-                    chunk_copy(o, a0, k + 1, 1 - slot).start()
+                def body(k, accs, o=o, a0=a0, nch=nch):
+                    slot = jax.lax.rem(k, jnp.int32(2))
+                    chunk_copy(o, a0, k, slot).wait()
 
-                win = win_scratch[o, slot]  # [W_S, WMAX] field-major
-                m, xij, rij2 = _ring_and_geom(
-                    rec, win, off=offs[o], planar=cfg.planar, key_row=6)
-                m = m & (rij2 > 0)
-                r2s = jnp.where(m, rij2, 1.0)
-                inv_r = jax.lax.rsqrt(r2s)
-                rij = r2s * inv_r
-                acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, *acc_c = accs
+                    @pl.when(k + 1 < nch)
+                    def _():
+                        chunk_copy(o, a0, k + 1, 1 - slot).start()
 
-                # family masks carry their own radius tests; the support
-                # pre-test is redundant for physics (radius_X <= support)
-                m_p = m & (ks.radius_p**2 - rij2 >= 0)
-                q_p = rij * (1.0 / ks.radius_p)
-                omq_p = 1.0 - q_p
+                    win = win_scratch[o, slot]  # [W_S, WMAX]
+                    return p1_math(win, offs[o], None, accs)
 
-                if cfg.surface_tension:
-                    if with_ratio:
-                        prop_j = win[8:9, :]
-                        ratio_ij = jnp.zeros_like(rij)
-                        for t in range(TYPE_COUNT):
-                            ratio_ij = ratio_ij + jnp.where(
-                                prop_j == float(t), ir_i[:, t:t + 1], 0.0)
-                    else:
-                        ratio_ij = 1.0
-                    if cfg.uniform_radii:
-                        m_a = m_g = m_p
-                        q_a = q_p
-                        omq_a2 = omq_p * omq_p
-                        omq_g2 = omq_a2
-                    else:
-                        m_a = m & (ks.radius_a**2 - rij2 >= 0)
-                        m_g = m & (ks.radius_g**2 - rij2 >= 0)
-                        q_a = rij * (1.0 / ks.radius_a)
-                        omq_a2 = (1.0 - q_a) ** 2
-                        q_g = rij * (1.0 / ks.radius_g)
-                        omq_g2 = (1.0 - q_g) ** 2
-                    # densityA (wa kernel; src/main.cpp:2141-2171)
-                    wa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) * q_a * omq_a2
-                    acc_da = acc_da + jnp.sum(
-                        jnp.where(m_a, ratio_ij * wa, 0.0), axis=1,
-                        keepdims=True)
-                    # gravity center (wg; :2174-2210)
-                    wg = (1.0 / ks.swg / ks.radius_g**ks.dim_power) * omq_g2
-                    w_gc = jnp.where(m_g, ratio_ij * wg / ks.r2g * ks.radius_g,
-                                     0.0)
-                    acc_gx = acc_gx + jnp.sum(xij[0] * w_gc, axis=1,
-                                              keepdims=True)
-                    acc_gy = acc_gy + jnp.sum(xij[1] * w_gc, axis=1,
-                                              keepdims=True)
-                    if not cfg.planar:
-                        acc_gz = acc_gz + jnp.sum(xij[2] * w_gc, axis=1,
-                                                  keepdims=True)
-
-                # wp sum + divergence (:2314-2379); constant norms hoisted
-                # out of the pair math (linear sums -> scaled at the end)
-                omq2 = omq_p * omq_p
-                acc_wp = acc_wp + jnp.sum(jnp.where(m_p, omq2, 0.0), axis=1,
-                                          keepdims=True)
-                ux = win[3:4, :] - vx_i
-                uy = win[4:5, :] - vy_i
-                udotx = ux * xij[0] + uy * xij[1]
-                if not cfg.planar:
-                    uz = win[5:6, :] - vz_i
-                    udotx = udotx + uz * xij[2]
-                acc_div = acc_div + jnp.sum(
-                    jnp.where(m_p, (udotx * inv_r) * omq_p, 0.0), axis=1,
-                    keepdims=True)
-
-                if count:
-                    (acc_cnt,) = acc_c
-                    m_sup = m & (rij2 <= support * support)
-                    acc_cnt = acc_cnt + jnp.sum(
-                        jnp.where(m_sup, 1.0, 0.0), axis=1, keepdims=True)
-                    acc_c = [acc_cnt]
-                return (acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div,
-                        *acc_c)
-
-            accs = jax.lax.fori_loop(0, nch, body, accs)
+                accs = jax.lax.fori_loop(0, nch, body, accs)
 
         acc_da, acc_gx, acc_gy, acc_gz, acc_wp, acc_div, *acc_c = accs
         # fold the hoisted kernel norms back in
@@ -294,12 +363,122 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
         else:
             a_i = ir_row = ir_col = None
 
-        def chunk_copy(o, a0, k, slot):
-            return pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(a0 + k * cfg.wmax, cfg.wmax)],
-                win_scratch.at[o, slot],
-                sems.at[o, slot],
-            )
+        def p2_math(win, off_b, lane_valid, accs):
+            fx, fy, fz = accs
+            m, xij, rij2 = _ring_and_geom(
+                rec, win, off=off_b, planar=cfg.planar, key_row=13)
+            m = m & (rij2 > 0)
+            if lane_valid is not None:
+                m = m & lane_valid
+            r2s = jnp.where(m, rij2, 1.0)
+            inv_r = jax.lax.rsqrt(r2s)
+            rij = r2s * inv_r
+            ex = xij[0] * inv_r
+            ey = xij[1] * inv_r
+            ez = None if cfg.planar else xij[2] * inv_r
+
+            prop_j = win[12:13, :]
+            ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
+            if cfg.uniform_ratio or not with_extra:
+                ratio_ij = ratio_ji = 1.0
+            else:
+                ratio_ij = jnp.zeros_like(rij)
+                ratio_ji = jnp.zeros_like(rij)
+                for t in range(TYPE_COUNT):
+                    sel = prop_j == float(t)
+                    ratio_ij = ratio_ij + jnp.where(
+                        sel, ir_row[:, t:t + 1], 0.0)
+                    ratio_ji = ratio_ji + jnp.where(
+                        sel, ir_col[:, t:t + 1], 0.0)
+
+            pp_j = win[3:4, :]
+            pa_j = win[4:5, :]
+
+            # pressureP + FSI interface load (:2394-2424, :2439-2472):
+            # fluid/wall receivers take all senders; structure receivers
+            # take only non-structure senders -> mask m_p & ~(rs & ss)
+            m_p = m & (ks.radius_p**2 - rij2 > 0)
+            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+            q_p = rij * (1.0 / ks.radius_p)
+            omq_p = 1.0 - q_p
+            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
+            radial = jnp.where(m_p & ~(rs & ss),
+                               (pp_i + pp_j) * dwp * volume, 0.0)
+
+            # pressureA (:2225-2258); exactly zero without surface tension
+            if cfg.surface_tension:
+                if cfg.uniform_radii:
+                    m_a, q_a, omq_a = m_p, q_p, omq_p
+                else:
+                    m_a = m & (ks.radius_a**2 - rij2 > 0)
+                    q_a = rij * (1.0 / ks.radius_a)
+                    omq_a = 1.0 - q_a
+                dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                    * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
+                coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
+                radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
+
+            # viscosity (:2478-2522): mu_h = 2/(1/mu_i + 1/mu_j); a zero
+            # viscosity makes inv infinite and mu_h exactly 0, matching
+            # the reference's mu_i+mu_j>0 guard
+            if cfg.uniform_radii:
+                m_v, omq_v = m_p, omq_p
+            else:
+                m_v = m & (ks.radius_v**2 - rij2 > 0)
+                omq_v = 1.0 - rij * (1.0 / ks.radius_v)
+            ux = win[9:10, :] - vx_i
+            uy = win[10:11, :] - vy_i
+            udote = ux * ex + uy * ey
+            if not cfg.planar:
+                uz = win[11:12, :] - vz_i
+                udote = udote + uz * ez
+            invmu_j = win[8:9, :]
+            mu_h = 2.0 / (invmu_i + invmu_j)
+            dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+                * (-2.0 / ks.radius_v) * omq_v
+            coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
+            radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
+
+            fx = fx + jnp.sum(radial * ex, axis=1, keepdims=True)
+            fy = fy + jnp.sum(radial * ey, axis=1, keepdims=True)
+            if not cfg.planar:
+                fz = fz + jnp.sum(radial * ez, axis=1, keepdims=True)
+
+            # diffuse interface (:2261-2312); zero without surface tension
+            if cfg.surface_tension:
+                if cfg.uniform_radii:
+                    m_g, omq_g = m_p, omq_p
+                else:
+                    m_g = m & (ks.radius_g**2 - rij2 > 0)
+                    omq_g = 1.0 - rij * (1.0 / ks.radius_g)
+                norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+                wgv = norm_g * (omq_g * omq_g)
+                dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
+                wij = ratio_ij * wgv
+                wji = ratio_ji * wgv
+                dwij = ratio_ij * dwg
+                dwji = ratio_ji * dwg
+                gcx_j = win[5:6, :]
+                gcy_j = win[6:7, :]
+                mdi = m_g & ~rs
+                t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
+                t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
+                gr_sum = ((gcx_j * dwji - gci[0] * dwij) * xij[0]
+                          + (gcy_j * dwji - gci[1] * dwij) * xij[1])
+                if not cfg.planar:
+                    gcz_j = win[7:8, :]
+                    t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
+                    gr_sum = gr_sum + (gcz_j * dwji - gci[2] * dwij) * xij[2]
+                gr = a_i * gr_sum
+                fx = fx - jnp.sum(jnp.where(mdi, t1x + gr * ex * scale_di,
+                                            0.0), axis=1, keepdims=True)
+                fy = fy - jnp.sum(jnp.where(mdi, t1y + gr * ey * scale_di,
+                                            0.0), axis=1, keepdims=True)
+                if not cfg.planar:
+                    fz = fz - jnp.sum(
+                        jnp.where(mdi, t1z + gr * ez * scale_di, 0.0),
+                        axis=1, keepdims=True)
+            return (fx, fy, fz)
 
         starts = []
         chunks = []
@@ -308,136 +487,37 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
                                       win_len_ref[o, b], cfg.wmax)
             starts.append(a0)
             chunks.append(nch)
-            chunk_copy(o, a0, 0, 0).start()
 
         accs = (jnp.zeros((bsz, 1), dtype),) * 3
-        for o in range(n_off):
-            a0, nch = starts[o], chunks[o]
+        if cfg.merged:
+            accs = _merged_sweep(
+                p2_math, packed_ref, win_scratch, sems, starts, chunks,
+                offs, cfg, accs, dtype)
+        else:
+            def chunk_copy(o, a0, k, slot):
+                return pltpu.make_async_copy(
+                    packed_ref.at[:, pl.ds(a0 + k * cfg.wmax, cfg.wmax)],
+                    win_scratch.at[o, slot],
+                    sems.at[o, slot],
+                )
 
-            def body(k, accs, o=o, a0=a0, nch=nch):
-                slot = jax.lax.rem(k, jnp.int32(2))
-                chunk_copy(o, a0, k, slot).wait()
+            for o in range(n_off):
+                chunk_copy(o, starts[o], 0, 0).start()
+            for o in range(n_off):
+                a0, nch = starts[o], chunks[o]
 
-                @pl.when(k + 1 < nch)
-                def _():
-                    chunk_copy(o, a0, k + 1, 1 - slot).start()
+                def body(k, accs, o=o, a0=a0, nch=nch):
+                    slot = jax.lax.rem(k, jnp.int32(2))
+                    chunk_copy(o, a0, k, slot).wait()
 
-                fx, fy, fz = accs
-                win = win_scratch[o, slot]  # [S2_W, WMAX]
-                m, xij, rij2 = _ring_and_geom(
-                    rec, win, off=offs[o], planar=cfg.planar, key_row=13)
-                m = m & (rij2 > 0)
-                r2s = jnp.where(m, rij2, 1.0)
-                inv_r = jax.lax.rsqrt(r2s)
-                rij = r2s * inv_r
-                ex = xij[0] * inv_r
-                ey = xij[1] * inv_r
-                ez = None if cfg.planar else xij[2] * inv_r
+                    @pl.when(k + 1 < nch)
+                    def _():
+                        chunk_copy(o, a0, k + 1, 1 - slot).start()
 
-                prop_j = win[12:13, :]
-                ss = (prop_j >= STRUCTURE_BEGIN) & (prop_j < STRUCTURE_END)
-                if cfg.uniform_ratio or not with_extra:
-                    ratio_ij = ratio_ji = 1.0
-                else:
-                    ratio_ij = jnp.zeros_like(rij)
-                    ratio_ji = jnp.zeros_like(rij)
-                    for t in range(TYPE_COUNT):
-                        sel = prop_j == float(t)
-                        ratio_ij = ratio_ij + jnp.where(
-                            sel, ir_row[:, t:t + 1], 0.0)
-                        ratio_ji = ratio_ji + jnp.where(
-                            sel, ir_col[:, t:t + 1], 0.0)
+                    win = win_scratch[o, slot]  # [W_S, WMAX]
+                    return p2_math(win, offs[o], None, accs)
 
-                pp_j = win[3:4, :]
-                pa_j = win[4:5, :]
-
-                # pressureP + FSI interface load (:2394-2424, :2439-2472):
-                # fluid/wall receivers take all senders; structure receivers
-                # take only non-structure senders -> mask m_p & ~(rs & ss)
-                m_p = m & (ks.radius_p**2 - rij2 > 0)
-                norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
-                q_p = rij * (1.0 / ks.radius_p)
-                omq_p = 1.0 - q_p
-                dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
-                radial = jnp.where(m_p & ~(rs & ss),
-                                   (pp_i + pp_j) * dwp * volume, 0.0)
-
-                # pressureA (:2225-2258); exactly zero without surface tension
-                if cfg.surface_tension:
-                    if cfg.uniform_radii:
-                        m_a, q_a, omq_a = m_p, q_p, omq_p
-                    else:
-                        m_a = m & (ks.radius_a**2 - rij2 > 0)
-                        q_a = rij * (1.0 / ks.radius_a)
-                        omq_a = 1.0 - q_a
-                    dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
-                        * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
-                    coeff_pa = (pa_i * ratio_ij + pa_j * ratio_ji) * dwa * volume
-                    radial = radial + jnp.where(m_a & ~rs, coeff_pa, 0.0)
-
-                # viscosity (:2478-2522): mu_h = 2/(1/mu_i + 1/mu_j); a zero
-                # viscosity makes inv infinite and mu_h exactly 0, matching
-                # the reference's mu_i+mu_j>0 guard
-                if cfg.uniform_radii:
-                    m_v, omq_v = m_p, omq_p
-                else:
-                    m_v = m & (ks.radius_v**2 - rij2 > 0)
-                    omq_v = 1.0 - rij * (1.0 / ks.radius_v)
-                ux = win[9:10, :] - vx_i
-                uy = win[10:11, :] - vy_i
-                udote = ux * ex + uy * ey
-                if not cfg.planar:
-                    uz = win[11:12, :] - vz_i
-                    udote = udote + uz * ez
-                invmu_j = win[8:9, :]
-                mu_h = 2.0 / (invmu_i + invmu_j)
-                dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
-                    * (-2.0 / ks.radius_v) * omq_v
-                coeff_v = c_v * mu_h * udote * (-dwv) * inv_r * volume
-                radial = radial + jnp.where(m_v & ~rs, coeff_v, 0.0)
-
-                fx = fx + jnp.sum(radial * ex, axis=1, keepdims=True)
-                fy = fy + jnp.sum(radial * ey, axis=1, keepdims=True)
-                if not cfg.planar:
-                    fz = fz + jnp.sum(radial * ez, axis=1, keepdims=True)
-
-                # diffuse interface (:2261-2312); zero without surface tension
-                if cfg.surface_tension:
-                    if cfg.uniform_radii:
-                        m_g, omq_g = m_p, omq_p
-                    else:
-                        m_g = m & (ks.radius_g**2 - rij2 > 0)
-                        omq_g = 1.0 - rij * (1.0 / ks.radius_g)
-                    norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
-                    wgv = norm_g * (omq_g * omq_g)
-                    dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
-                    wij = ratio_ij * wgv
-                    wji = ratio_ji * wgv
-                    dwij = ratio_ij * dwg
-                    dwji = ratio_ji * dwg
-                    gcx_j = win[5:6, :]
-                    gcy_j = win[6:7, :]
-                    mdi = m_g & ~rs
-                    t1x = a_i * (gcx_j * wji - gci[0] * wij) * scale_di
-                    t1y = a_i * (gcy_j * wji - gci[1] * wij) * scale_di
-                    gr_sum = ((gcx_j * dwji - gci[0] * dwij) * xij[0]
-                              + (gcy_j * dwji - gci[1] * dwij) * xij[1])
-                    if not cfg.planar:
-                        gcz_j = win[7:8, :]
-                        t1z = a_i * (gcz_j * wji - gci[2] * wij) * scale_di
-                        gr_sum = gr_sum + (gcz_j * dwji - gci[2] * dwij) * xij[2]
-                    gr = a_i * gr_sum
-                    fx = fx - jnp.sum(jnp.where(mdi, t1x + gr * ex * scale_di,
-                                                0.0), axis=1, keepdims=True)
-                    fy = fy - jnp.sum(jnp.where(mdi, t1y + gr * ey * scale_di,
-                                                0.0), axis=1, keepdims=True)
-                    if not cfg.planar:
-                        fz = fz - jnp.sum(
-                            jnp.where(mdi, t1z + gr * ez * scale_di, 0.0),
-                            axis=1, keepdims=True)
-                return (fx, fy, fz)
-
-            accs = jax.lax.fori_loop(0, nch, body, accs)
+                accs = jax.lax.fori_loop(0, nch, body, accs)
 
         fx, fy, fz = accs
         z = jnp.zeros_like(fx)
@@ -478,15 +558,23 @@ def _sweep_t(kernel_fn, packed_t, extras, win_start, win_len, n_off,
         args.append(extras)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     args.append(packed_t)
+    if cfg.merged:
+        # one shared slab: all offsets' chunks side by side in the lane dim
+        scratch_shapes = [
+            pltpu.VMEM((2, w, n_off * cfg.wmax), dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((2, n_off)),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((n_off, 2, w, cfg.wmax), dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((n_off, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((OUT_W, cfg.block * sub), lambda b, *_: (0, b)),
-        scratch_shapes=[
-            pltpu.VMEM((n_off, 2, w, cfg.wmax), dtype),  # double-buffered
-            pltpu.SemaphoreType.DMA((n_off, 2)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         kernel_fn,

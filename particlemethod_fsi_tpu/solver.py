@@ -164,6 +164,7 @@ class Simulation:
             block=cfg.numerics.pallas_block,
             wmax=cfg.numerics.pallas_wmax,
             subblocks=cfg.numerics.pallas_subblocks,
+            merged=cfg.numerics.pallas_merged,
             surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
             uniform_ratio=all(
                 r == 1.0 for row in cfg.interaction_ratio for r in row

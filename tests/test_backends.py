@@ -170,3 +170,34 @@ def test_rebuild_margin_c8_matches_3d():
     b = to_numpy(sim1.run_chunk(sim1.state0, 12), grid.n)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
+
+
+def test_pallas_t_merged_sweep_agrees_coupled():
+    """Merged [B, n_off*wmax] single-pass sweep (pallas_merged=True) vs the
+    default per-offset fori_loop sweep, coupled FSI.  Same math, different
+    scratch layout/DMA schedule -> bit-exact parity expected."""
+    grid = mini_fsi()
+    base = dict(scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+    a = run(grid, dam_like_config(backend="pallas_t", pallas_block=32,
+                                  pallas_wmax=128).replace(**base), 6)
+    b = run(grid, dam_like_config(backend="pallas_t", pallas_block=32,
+                                  pallas_wmax=128,
+                                  pallas_merged=True).replace(**base), 6)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-13, atol=1e-16)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-11, atol=1e-15)
+
+
+def test_pallas_t_merged_sweep_agrees_3d():
+    """Merged sweep in 3-D (9 row offsets against the plane-padded frame),
+    where the mode is actually intended to pay off."""
+    from cases import config_3d, mini_dam_3d
+
+    grid = mini_dam_3d()
+    cfg0 = config_3d(backend="pallas_t", pallas_block=32, pallas_wmax=256)
+    cfg1 = config_3d(backend="pallas_t", pallas_block=32, pallas_wmax=256,
+                     pallas_merged=True)
+    sim0, sim1 = Simulation(cfg0, grid), Simulation(cfg1, grid)
+    a = to_numpy(sim0.run_chunk(sim0.state0, 10), grid.n)
+    b = to_numpy(sim1.run_chunk(sim1.state0, 10), grid.n)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-13, atol=1e-16)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-11, atol=1e-15)
