@@ -150,8 +150,13 @@ class NumericsConfig:
     #   "packed"   = sorted packed-candidate XLA engine (no per-element gathers)
     #   "gather"   = portable [N,K] index-matrix engine (CPU/golden tests)
     backend: str = "auto"
-    pallas_block: int = 128  # receivers per Pallas program
-    pallas_wmax: int = 256  # window rows per cell-row offset
+    # None = dimension-aware defaults resolved at Simulation init, measured
+    # on v5e: 2-D (block=128, wmax=256, merged off; 60.0 ms at 1M) and 3-D
+    # (block=64, wmax=128, merged on; 51.4 ms at 236k gate -- the 9
+    # row-offset windows are shorter and scaffolding-dominated, so the
+    # merged single-pass sweep and smaller tiles win there but lose in 2-D).
+    pallas_block: Optional[int] = None  # receivers per Pallas program
+    pallas_wmax: Optional[int] = None  # window rows per cell-row offset
     # receiver sub-blocks per grid program; block*subblocks must be a
     # multiple of 128 (Mosaic lane-block constraint).  Smaller blocks test
     # fewer wasted pair slots per receiver at the cost of more windows.
@@ -159,9 +164,9 @@ class NumericsConfig:
     pallas_subblocks: int = 2
     # pallas_t only: evaluate all cell-row offsets in one [B, n_off*wmax]
     # pass per chunk (concurrent per-offset DMAs) instead of n_off separate
-    # loops.  Measured slower in 2-D at 1M (the phases are pair-math bound);
-    # tuning knob for 3-D scenes where n_off = 9.
-    pallas_merged: bool = False
+    # loops.  Measured slower in 2-D at 1M (the phases are pair-math bound)
+    # but 1.5x faster in 3-D where n_off = 9.  None = on in 3-D only.
+    pallas_merged: Optional[bool] = None
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows
     # max particles per cell-list bucket (packed/gather engines + halo's

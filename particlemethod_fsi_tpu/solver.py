@@ -159,12 +159,19 @@ class Simulation:
             # cell keys ride as f32 lanes in the transposed layout
             self._backend = "pallas"
 
-        # compile-time pallas specialization, shared by step + diagnostics
+        # compile-time pallas specialization, shared by step + diagnostics.
+        # None knobs resolve to measured per-dimension optima (config.py):
+        # 2-D (128, 256, merged off), 3-D (64, 128, merged on).
+        two_d = cfg.two_dimensional
+        nu = cfg.numerics
         self._pcfg = pw.PallasConfig(
-            block=cfg.numerics.pallas_block,
-            wmax=cfg.numerics.pallas_wmax,
-            subblocks=cfg.numerics.pallas_subblocks,
-            merged=cfg.numerics.pallas_merged,
+            block=nu.pallas_block if nu.pallas_block is not None
+            else (128 if two_d else 64),
+            wmax=nu.pallas_wmax if nu.pallas_wmax is not None
+            else (256 if two_d else 128),
+            subblocks=nu.pallas_subblocks,
+            merged=nu.pallas_merged if nu.pallas_merged is not None
+            else (not two_d),
             surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
             uniform_ratio=all(
                 r == 1.0 for row in cfg.interaction_ratio for r in row
