@@ -166,6 +166,7 @@ def run(args) -> int:
     #                     scan donates device buffers, so a saved device
     #                     state would be deleted by the next chunk
     retries = 2  # watchdog auto-recovery budget (halve dt per retry)
+    transient_retries = 3  # axon-tunnel UNAVAILABLE faults (BASELINE.md flake)
     orig_dt, orig_elastic_dt = cfg.dt, cfg.elastic_dt
     restore_at = None  # time at which a halved recovery dt is restored
 
@@ -306,8 +307,34 @@ def run(args) -> int:
         next_event = min(output_next, vtk_next, cfg.end_time + dt)
         n_steps = max(1, int(round((next_event - time) / dt)))
         t0 = _time.time()
-        state = sim.run_chunk(state, n_steps)
-        state.pos.block_until_ready()
+        try:
+            state = sim.run_chunk(state, n_steps)
+            state.pos.block_until_ready()
+        except Exception as e:  # noqa: BLE001 -- device faults arrive as
+            # XlaRuntimeError subclasses whose class identity varies by
+            # jaxlib version; classify by message instead
+            msg = str(e)
+            transient = ("UNAVAILABLE" in msg or "DEADLINE_EXCEEDED" in msg
+                         or "device error" in msg.lower())
+            if not (transient and transient_retries > 0 and last_good):
+                raise
+            # in-process recovery from the documented axon-tunnel flake
+            # (BASELINE.md "Known infrastructure flake"): the failed chunk's
+            # donated buffers are dead, so rebuild everything from the last
+            # host snapshot and replay the interval at the same dt.
+            # tools/resilient_run.sh remains only as an external backstop.
+            transient_retries -= 1
+            good_grid, t_good = last_good
+            log.printf("TRANSIENT: device error at t=%e (%.120s); "
+                       "reinitializing from t=%e snapshot (%d retries "
+                       "left)\n", time, msg.replace("\n", " "), t_good,
+                       transient_retries)
+            _time.sleep(5.0)  # let the tunnel re-establish
+            sim = Simulation(cfg, good_grid)
+            state = sim.state0
+            time = t_good
+            i_step = int(round(time / dt))
+            continue
         c_explicit += _time.time() - t0
         time += n_steps * dt
         i_step += n_steps

@@ -89,3 +89,56 @@ def test_watchdog_recovery_no_crash(tmp_path):
     assert rc in (0, 2), log[-2000:]
     if rc == 2:
         assert "recovering from" in log  # both retries were attempted
+
+
+def test_transient_device_error_recovery(tmp_path, monkeypatch):
+    """An UNAVAILABLE fault mid-chunk (the documented axon-tunnel flake,
+    BASELINE.md) must be retried in-process: reload the last host snapshot,
+    rebuild the Simulation, replay the interval at the SAME dt, and finish
+    with rc 0 -- without tools/resilient_run.sh."""
+    real_sim = cli.Simulation
+    fails = {"left": 2}
+
+    class FlakySimulation(real_sim):
+        def run_chunk(self, state, n_steps):
+            if fails["left"]:
+                fails["left"] -= 1
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU device error (injected test fault)")
+            return super().run_chunk(state, n_steps)
+
+    monkeypatch.setattr(cli, "Simulation", FlakySimulation)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    d = tmp_path / "flaky"
+    d.mkdir()
+    rc = cli.main([
+        DAM_DATA, DAM_GRID, str(d / "o%03d.prof"), str(d / "o%03d.vtk"),
+        str(d / "run.log"), "1", "--scene", "dam", "--dtype", "float64",
+        "--backend", "packed", "--end-time", "0.002",
+    ])
+    log = (d / "run.log").read_text()
+    assert rc == 0, log[-2000:]
+    assert log.count("TRANSIENT:") == 2
+    assert fails["left"] == 0
+    # the replay must not have halved dt (that is the watchdog's lever)
+    assert "recovering from" not in log
+
+
+def test_transient_retries_exhausted_reraises(tmp_path, monkeypatch):
+    """Persistent device faults must surface, not loop forever."""
+    real_sim = cli.Simulation
+
+    class DeadSimulation(real_sim):
+        def run_chunk(self, state, n_steps):
+            raise RuntimeError("UNAVAILABLE: TPU device error (persistent)")
+
+    monkeypatch.setattr(cli, "Simulation", DeadSimulation)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    d = tmp_path / "dead"
+    d.mkdir()
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        cli.main([
+            DAM_DATA, DAM_GRID, str(d / "o%03d.prof"), str(d / "o%03d.vtk"),
+            str(d / "run.log"), "1", "--scene", "dam", "--dtype", "float64",
+            "--backend", "packed", "--end-time", "0.002",
+        ])
