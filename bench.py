@@ -85,12 +85,12 @@ def build_case(n_side: int, backend: str = "packed", **numerics_kw):
         poisson_ratio=(0.0, 0.0, 0.2, 0.4, 0.3, 0.3),
         gravity=(0.0, -9.81, 0.0),
         scene=SCENES["dam"],
-        # cap 12 covers compressed 2-D cells (~9 lattice sites + margin);
-        # B=128/WMAX=256 measured optimal on v5e at 256k-1M particles.
-        # rebuild_margin=0.5 (C8 frame reuse, solver._force_cached) measured
-        # faster than rebuild-every-step in BOTH regimes at 1M: 59.6 vs
-        # 70.0 ms/step settling, 69.0 vs 69.9 developed flow (margin 1.0+
-        # loses in developed flow to wider cells; see ARCHITECTURE.md)
+        # cap 12 covers compressed 2-D cells (~9 lattice sites + margin).
+        # Round-3 sweep (tools/tune2d_r3.py, 1M on v5e, all runs at C8
+        # margin 0.5): merged sweep + B=64/WMAX=256 = 51.97 ms/step vs
+        # 59.5 for the round-2 128/256 non-merged config; the same tiles
+        # at margin 0 measure 65.7, so the C8 frame-reuse skip still
+        # carries ~14 ms.
         numerics=NumericsConfig(backend=backend, cell_capacity=12,
                                 **{"rebuild_margin": 0.5, **numerics_kw}),
     )

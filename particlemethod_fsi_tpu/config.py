@@ -151,21 +151,23 @@ class NumericsConfig:
     #   "gather"   = portable [N,K] index-matrix engine (CPU/golden tests)
     backend: str = "auto"
     # None = dimension-aware defaults resolved at Simulation init, measured
-    # on v5e: 2-D (block=128, wmax=256, merged off; 60.0 ms at 1M) and 3-D
-    # (block=64, wmax=128, merged on; 51.4 ms at 236k gate -- the 9
-    # row-offset windows are shorter and scaffolding-dominated, so the
-    # merged single-pass sweep and smaller tiles win there but lose in 2-D).
+    # on v5e (round-3 sweep, tools/tune2d_r3.py): merged sweep + block=64
+    # in BOTH dims; wmax=256 in 2-D (51.97 ms at 1M, vs 70.0 for the
+    # round-2 128/256 non-merged optimum), wmax=128 in 3-D (51.2 ms at
+    # 236k gate).  64-receiver blocks tighten the shared window span;
+    # the merged sweep's concurrent per-offset DMAs absorb the extra
+    # chunk-loop overhead that sank small tiles in round 2.
     pallas_block: Optional[int] = None  # receivers per Pallas program
     pallas_wmax: Optional[int] = None  # window rows per cell-row offset
     # receiver sub-blocks per grid program; block*subblocks must be a
     # multiple of 128 (Mosaic lane-block constraint).  Smaller blocks test
     # fewer wasted pair slots per receiver at the cost of more windows.
-    # Measured on v5e at 1M: (128, 256, 2) is the optimum.
+    # 2 and 4 measure within 0.3% of each other at the 64/256 optimum.
     pallas_subblocks: int = 2
     # pallas_t only: evaluate all cell-row offsets in one [B, n_off*wmax]
     # pass per chunk (concurrent per-offset DMAs) instead of n_off separate
-    # loops.  Measured slower in 2-D at 1M (the phases are pair-math bound)
-    # but 1.5x faster in 3-D where n_off = 9.  None = on in 3-D only.
+    # loops.  None = on (wins in both dims with 64-receiver blocks: 2-D 1M
+    # 51.97 vs 58.96 ms; 3-D it is the round-2 1.5x win).
     pallas_merged: Optional[bool] = None
     max_neighbors: int = 64  # K: padded dynamic-neighbor row width (ref: 512, :100)
     max_initial_neighbors: int = 64  # K0 for static structure neighbor rows

@@ -160,18 +160,19 @@ class Simulation:
             self._backend = "pallas"
 
         # compile-time pallas specialization, shared by step + diagnostics.
-        # None knobs resolve to measured per-dimension optima (config.py):
-        # 2-D (128, 256, merged off), 3-D (64, 128, merged on).
+        # None knobs resolve to measured per-dimension optima: the merged
+        # single-pass sweep with 64-receiver blocks wins in BOTH dims
+        # (round-3 sweep, tools/tune2d_r3.py: 2-D 1M 51.97 ms at 64/256 vs
+        # 70.0 at the round-2 128/256 non-merged; 3-D 236k best at 64/128).
         two_d = cfg.two_dimensional
         nu = cfg.numerics
         self._pcfg = pw.PallasConfig(
-            block=nu.pallas_block if nu.pallas_block is not None
-            else (128 if two_d else 64),
+            block=nu.pallas_block if nu.pallas_block is not None else 64,
             wmax=nu.pallas_wmax if nu.pallas_wmax is not None
             else (256 if two_d else 128),
             subblocks=nu.pallas_subblocks,
             merged=nu.pallas_merged if nu.pallas_merged is not None
-            else (not two_d),
+            else True,
             surface_tension=any(v != 0.0 for v in self.kernels.cof_a),
             uniform_ratio=all(
                 r == 1.0 for row in cfg.interaction_ratio for r in row

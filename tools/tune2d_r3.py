@@ -47,5 +47,34 @@ def main():
             print(f"{kw}: FAIL {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
+def margin_runs():
+    """C8 margin on top of the merged small-tile winner."""
+    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    bench._enable_compile_cache()
+    sel = sys.argv[3] if len(sys.argv) > 3 else "0,1,2,3"
+    g = [
+        dict(pallas_merged=True, pallas_block=64, pallas_wmax=256,
+             pallas_subblocks=2, rebuild_margin=0.5),
+        dict(pallas_merged=True, pallas_block=64, pallas_wmax=512,
+             pallas_subblocks=2),
+        dict(pallas_merged=True, pallas_block=64, pallas_wmax=384,
+             pallas_subblocks=2),
+        dict(pallas_merged=True, pallas_block=96, pallas_wmax=256,
+             pallas_subblocks=2),
+        dict(pallas_merged=True, pallas_block=64, pallas_wmax=256,
+             pallas_subblocks=4),
+    ]
+    for kw in [g[int(i)] for i in sel.split(",")]:
+        try:
+            n, s = measure(n_side, "pallas_t", **kw)
+            print(f"{kw}: {s*1e3:7.2f} ms/step  "
+                  f"{n/s/1e6:6.2f} M psteps/s", flush=True)
+        except Exception as e:
+            print(f"{kw}: FAIL {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "margin":
+        margin_runs()
+    else:
+        main()
