@@ -2,6 +2,7 @@
 gather backend -- both must produce identical physics."""
 
 import numpy as np
+import pytest
 
 from cases import dam_like_config, mini_dam, mini_fsi
 from particlemethod_fsi_tpu.config import SCENES
@@ -46,6 +47,7 @@ def test_packed_handles_cell_capacity_edge():
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-16)
 
 
+@pytest.mark.slow
 def test_pallas_backend_agrees():
     """Pallas window-sweep kernels (interpret mode on CPU) vs the packed
     engine over several coupled steps."""
@@ -60,6 +62,7 @@ def test_pallas_backend_agrees():
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-15)
 
 
+@pytest.mark.slow
 def test_pallas_t_backend_agrees_coupled():
     """Field-major (transposed-layout) Pallas kernels vs the packed engine,
     coupled FSI.  The v2 kernels hoist kernel norms out of the pair sums and
@@ -74,6 +77,7 @@ def test_pallas_t_backend_agrees_coupled():
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_pallas_t_backend_agrees_surface_tension():
     """pallas_t with surface tension + asymmetric interaction ratios
     (exercises the receiver-extras input and the prop window lane)."""
@@ -92,6 +96,7 @@ def test_pallas_t_backend_agrees_surface_tension():
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_pallas_t_periodic_ghosts():
     """Fully periodic scene: the pallas_t backend must keep running (ghost
     duplication, ops/ghosts.py) instead of falling back to packed, and must
@@ -132,6 +137,7 @@ def test_pallas_t_periodic_ghosts():
     assert np.isfinite(np.asarray(d["virial_pressure"])).all()
 
 
+@pytest.mark.slow
 def test_rebuild_margin_c8_matches():
     """C8 knob (NumericsConfig.rebuild_margin > 0): reusing the sorted
     frame + window tables under the margin predicate must reproduce the
@@ -152,6 +158,7 @@ def test_rebuild_margin_c8_matches():
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_rebuild_margin_c8_matches_3d():
     """3-D variant of the C8 parity test: the cached-skip path regathers
     pos/vel by frame ``orig``, and 3-D plane-pad rows (orig >= n_pad,
@@ -172,6 +179,7 @@ def test_rebuild_margin_c8_matches_3d():
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_pallas_t_merged_sweep_agrees_coupled():
     """Merged [B, n_off*wmax] single-pass sweep (pallas_merged=True) vs the
     default per-offset fori_loop sweep, coupled FSI.  Same math, different
@@ -187,6 +195,7 @@ def test_pallas_t_merged_sweep_agrees_coupled():
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-11, atol=1e-15)
 
 
+@pytest.mark.slow
 def test_pallas_t_merged_sweep_agrees_3d():
     """Merged sweep in 3-D (9 row offsets against the plane-padded frame),
     where the mode is actually intended to pay off."""

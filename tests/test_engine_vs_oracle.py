@@ -100,6 +100,7 @@ class TestSolidOnly:
         # the bar must actually be moving (profile applied, not clamped away)
         assert np.abs(eng["vel"][:, 1]).max() > 1e-4
 
+    @pytest.mark.slow
     def test_double_substep_compat_flag(self):
         """Quirk Q1 on/off changes trajectories; both must match the oracle
         configured the same way."""
@@ -147,6 +148,7 @@ class TestCoupledFSI:
 
 
 class TestThreeDimensional:
+    @pytest.mark.slow
     def test_mini_3d_dam_vs_oracle(self):
         from cases import config_3d, mini_dam_3d
 
@@ -156,6 +158,7 @@ class TestThreeDimensional:
         np.testing.assert_allclose(eng["pos"], orc.pos, rtol=1e-10, atol=1e-14)
         np.testing.assert_allclose(eng["vel"], orc.vel, rtol=1e-9, atol=1e-13)
 
+    @pytest.mark.slow
     def test_3d_backends_agree(self):
         from cases import config_3d, mini_dam_3d
         from particlemethod_fsi_tpu.state import to_numpy
@@ -192,6 +195,7 @@ class TestF32PallasVsOracle:
     particle' tail on the full Dam case over 1000 steps).  Asserted at 2x
     the measured max as a regression tripwire."""
 
+    @pytest.mark.slow
     def test_mini_dam_f32_pallas_t(self):
         grid = mini_dam()
         cfg = dam_like_config(dtype="float32", backend="pallas_t",
@@ -212,6 +216,7 @@ class TestF32PallasVsOracle:
         np.testing.assert_allclose(eng["pos"], orc.pos, rtol=0, atol=5e-6)
         np.testing.assert_allclose(eng["vel"], orc.vel, rtol=0, atol=5e-4)
 
+    @pytest.mark.slow
     def test_momentum_conservation_f32_pallas_t(self):
         """Antisymmetric pair forces conserve momentum in f32 to the
         accumulation roundoff of ~N*eps_f32*scale."""

@@ -70,6 +70,7 @@ def test_dam_golden_100_steps():
     assert dv < 5.0e-4, f"velocity diff {dv:.3e} m/s vs golden"  # measured 4.9e-5
 
 
+@pytest.mark.slow
 def test_bar_golden_tip_trajectory():
     """Bar first-mode excitation: tip displacement within 1% of the reference
     binary's trajectory (the BASELINE.json acceptance criterion).  Measured
@@ -97,6 +98,7 @@ def test_bar_golden_tip_trajectory():
         f"tip error {max(errs):.3e} m vs 1% of peak {peak:.3e} m")
 
 
+@pytest.mark.slow
 def test_gate_golden_100_steps():
     """Coupled FSI (dam break on clamped elastic gate) vs the reference
     binary after 100 steps."""

@@ -21,6 +21,7 @@ def _sorted_by_pos(prop, pos, vel):
 
 
 @pytest.mark.parametrize("ndev", [2, 4])
+@pytest.mark.slow
 def test_halo_matches_single_chip(ndev):
     grid = mini_dam()
     cfg = dam_like_config()
@@ -83,6 +84,7 @@ def test_halo_coupled_fsi_matches_single_chip(ndev):
     np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_halo_long_run_migration_and_structure_crossing():
     """100 steps of coupled FSI on 4 slabs: sustained multi-slab migration
     (the dam front crosses several boundaries) and a structure whose
@@ -130,6 +132,7 @@ def test_halo_long_run_migration_and_structure_crossing():
     np.testing.assert_allclose(a[2], b[2], rtol=1e-7, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_halo_overflow_is_reported_not_silent():
     """Saturating the migration buffers must surface a nonzero overflow
     count (the reference silently drops overflow; we must not)."""
@@ -149,6 +152,7 @@ def test_halo_overflow_is_reported_not_silent():
     assert saw_overflow > 0
 
 
+@pytest.mark.slow
 def test_equal_count_splits_where_equal_width_overflows():
     """Dam-break density skew: all water piled into the left tenth of a wide
     domain.  Equal-width slabs overflow the per-shard capacity; equal-count
@@ -191,6 +195,7 @@ def test_equal_count_splits_where_equal_width_overflows():
 
 
 @pytest.mark.parametrize("ndev", [2, 4])
+@pytest.mark.slow
 def test_halo_pallas_t_matches_single_chip(ndev):
     """Halo mode with the pallas_t window-sweep LOCAL engine (the
     single-chip fast path wired into the slab decomposition; round-2
@@ -251,6 +256,7 @@ def _periodic_channel_grid():
 
 
 @pytest.mark.parametrize("ndev", [2, 4])
+@pytest.mark.slow
 def test_halo_pallas_t_x_periodic_wrap(ndev):
     """x-periodic scene on the pallas_t halo path: cross-global-boundary
     pairs ride the ring-shifted ghost layer, and particles that wrap

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_sharded_matches_single_chip_fluid(ndev):
     grid = mini_dam()

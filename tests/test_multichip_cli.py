@@ -33,12 +33,14 @@ def single_chip(tmp_path_factory):
     return run_cli(tmp_path_factory.mktemp("cli"), "single", [])
 
 
+@pytest.mark.slow
 def test_cli_mesh_allgather_matches_single_chip(tmp_path, single_chip):
     rows = run_cli(tmp_path, "ag", ["--mesh", "8", "--mode", "allgather"])
     np.testing.assert_allclose(rows[:, 1:4], single_chip[:, 1:4],
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_cli_mesh_halo_matches_single_chip(tmp_path, single_chip):
     """Halo mode with equal-count rebalancing: slot-order output must match
     the single-chip trajectory (reordered summation => roundoff-level)."""
@@ -47,6 +49,7 @@ def test_cli_mesh_halo_matches_single_chip(tmp_path, single_chip):
                                rtol=0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_cli_mesh_halo_no_rebalance(tmp_path, single_chip):
     rows = run_cli(tmp_path, "halo_eq",
                    ["--mesh", "8", "--mode", "halo", "--no-rebalance"])
@@ -65,6 +68,7 @@ def test_cli_mesh_too_many_devices(tmp_path):
     assert rc == 1
 
 
+@pytest.mark.slow
 def test_watchdog_recovery_no_crash(tmp_path):
     """A CFL-violating dt must trip the watchdog at an output boundary,
     trigger dt-halving auto-recovery from the last HOST snapshot (a saved
@@ -91,6 +95,7 @@ def test_watchdog_recovery_no_crash(tmp_path):
         assert "recovering from" in log  # both retries were attempted
 
 
+@pytest.mark.slow
 def test_transient_device_error_recovery(tmp_path, monkeypatch):
     """An UNAVAILABLE fault mid-chunk (the documented axon-tunnel flake,
     BASELINE.md) must be retried in-process: reload the last host snapshot,

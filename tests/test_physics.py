@@ -42,6 +42,7 @@ class TestConservation:
         scale = np.abs(mass[:, None] * out["vel"]).sum()
         np.testing.assert_allclose(p1, p0, atol=1e-12 * max(scale, 1e-30))
 
+    @pytest.mark.slow
     def test_hydrostatic_pressure_column(self):
         """After settling, VolStrainP-based pressure approximates
         rho*g*depth through the water column (sealed tank: water spans the
@@ -123,6 +124,7 @@ class TestSolidProperties:
             np.broadcast_to(r[:2, :2], (interior.sum(), 2, 2)), atol=1e-8)
         assert np.isfinite(np.asarray(kick)).all()
 
+    @pytest.mark.slow
     def test_bar_oscillates_and_returns(self):
         """Excited cantilever oscillates: the tip must reverse direction and
         the motion stays bounded (energy does not blow up)."""
@@ -152,6 +154,7 @@ class TestSolidProperties:
 
 
 class TestWatchdogAndCheckpoint:
+    @pytest.mark.slow
     def test_checkpoint_roundtrip(self, tmp_path):
         from particlemethod_fsi_tpu.utils.checkpoint import (
             load_checkpoint,
@@ -297,6 +300,7 @@ class TestSlenderBarFrequencyOracle:
             e_eff * (ny * L0) ** 2 / (12 * rho))
         return (f_measured - f_eb) / f_eb
 
+    @pytest.mark.slow
     def test_slender_bar_h4_tripwire(self):
         err = self._measure(40, 4, 240)
         assert -0.305 <= err <= -0.245, err  # measured -27.5%

@@ -2,6 +2,7 @@
 (calculateVirialStressAtParticle, /root/reference/src/main.cpp:3077-3318)."""
 
 import numpy as np
+import pytest
 
 from cases import dam_like_config, mini_dam
 from particlemethod_fsi_tpu.solver import Simulation
@@ -63,6 +64,7 @@ def numpy_virial(sim, pos, vel, prop, fields):
     return out
 
 
+@pytest.mark.slow
 def test_virial_matches_numpy():
     grid = mini_dam(nx_water=5, ny_water=6)
     cfg = dam_like_config().replace(
@@ -88,6 +90,7 @@ def test_virial_matches_numpy():
     )
 
 
+@pytest.mark.slow
 def test_pallas_diagnostics_match_packed():
     """The pallas diagnostic path (phase1 + phase2 + virial window kernels)
     must agree with the packed path on the full diagnostics dict."""

@@ -36,6 +36,7 @@ def _match(ref_pos, pos):
     return d, idx
 
 
+@pytest.mark.slow
 def test_wave_halo_120_steps_matches_single_chip(wave_grid):
     import jax
 
@@ -82,6 +83,7 @@ def test_wave_halo_120_steps_matches_single_chip(wave_grid):
     assert dv < 1e-3, dv
 
 
+@pytest.mark.slow
 def test_wave_halo_buffer_saturation_reported(wave_grid):
     """Deliberately undersized migration buffers must COUNT overflows, not
     lose particles silently or crash."""

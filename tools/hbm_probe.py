@@ -20,19 +20,44 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import bench
 
 
-def mem_stats():
+def mem_stats(sim=None):
+    """Device memory stats; axon returns None from memory_stats(), so fall
+    back to XLA's compile-time memory analysis of the 20-step chunk (exact
+    temp+arg+output buffer plan, which IS the execution high-water mark for
+    a single jitted program)."""
     import jax
 
     d = jax.devices()[0]
     try:
         s = d.memory_stats()
-    except Exception as e:  # axon may not expose stats
-        return {"error": f"memory_stats unavailable: {e}"}
-    keep = {k: v for k, v in s.items()
-            if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
-                     "largest_alloc_size", "num_allocs")}
-    keep["peak_gib"] = round(s.get("peak_bytes_in_use", 0) / 2**30, 3)
-    return keep
+    except Exception:
+        s = None
+    if s is not None:
+        keep = {k: v for k, v in s.items()
+                if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+                         "largest_alloc_size", "num_allocs")}
+        keep["peak_gib"] = round(s.get("peak_bytes_in_use", 0) / 2**30, 3)
+        return keep
+    if sim is None:
+        return {"error": "memory_stats unavailable"}
+    try:
+        comp = jax.jit(sim._chunk, static_argnums=1).lower(
+            sim.state0, 20).compile()
+        ma = comp.memory_analysis()
+        out = {"source": "compiled memory_analysis (chunk=20, no donation)"}
+        for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "alias_size_in_bytes"):
+            v = getattr(ma, k, None)
+            if v is not None:
+                out[k] = int(v)
+        tot = (out.get("temp_size_in_bytes", 0)
+               + out.get("argument_size_in_bytes", 0)
+               + out.get("output_size_in_bytes", 0)
+               - out.get("alias_size_in_bytes", 0))
+        out["plan_total_gib"] = round(tot / 2**30, 3)
+        return out
+    except Exception as e:
+        return {"error": f"memory analysis failed: {type(e).__name__}: {e}"}
 
 
 def main():
@@ -51,10 +76,12 @@ def main():
         sim = Simulation(cfg, grid)
         label = f"{os.path.basename(data)} n={sim.n}"
     steps = int(os.environ.get("HBM_PROBE_STEPS", "60"))
+    # memory plan FIRST (compile-only): survives execution-time device
+    # faults, which is the whole point for the Turek flake comparison
+    print(json.dumps({"label": label, "phase": "compile-time plan",
+                      **mem_stats(sim)}), flush=True)
     state = sim.run_chunk(sim.state0, 20)
     state.pos.block_until_ready()
-    print(json.dumps({"label": label, "phase": "after warmup(20)",
-                      **mem_stats()}), flush=True)
     for _ in range(steps // 20):
         state = sim.run_chunk(state, 20)
     state.pos.block_until_ready()
@@ -62,7 +89,7 @@ def main():
 
     ok = bool(np.isfinite(np.asarray(state.pos)).all())
     print(json.dumps({"label": label, "phase": f"after {steps} more steps",
-                      "finite": ok, **mem_stats()}), flush=True)
+                      "finite": ok, **mem_stats(sim)}), flush=True)
 
 
 if __name__ == "__main__":
