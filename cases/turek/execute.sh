@@ -1,2 +1,2 @@
 #!/bin/sh
-python -m particlemethod_fsi_tpu.cli turek.data turek.grid 'turek%03d.prof' 'turek%03d.vtk' turek.log 4 --scene turek_hron --metrics turek_metrics.jsonl "$@"
+python -m particlemethod_fsi_tpu.cli turek.data turek.grid 'turek%03d.prof' 'turek%03d.vtk' turek.log 4 --scene turek_hron --rebuild-margin 0.5 --metrics turek_metrics.jsonl "$@"

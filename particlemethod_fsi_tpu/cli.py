@@ -45,6 +45,12 @@ def build_parser():
                    help="scenario module (clamps + velocity profiles)")
     p.add_argument("--dtype", default=None, choices=["float32", "float64"])
     p.add_argument("--end-time", type=float, default=None)
+    p.add_argument("--dt", type=float, default=None,
+                   help="override the .data Dt (e.g. a CFL-rescaled step "
+                        "for a grid regenerated at a finer spacing)")
+    p.add_argument("--elastic-dt", type=float, default=None,
+                   help="override the .data ElasticDt (scales with l0 like "
+                        "Dt; the substep count is dt/elastic_dt)")
     p.add_argument("--apply-velocity-profile", action="store_true",
                    help="apply the scene's initial velocity profile at t=0")
     p.add_argument("--no-double-substep", action="store_true",
@@ -126,6 +132,11 @@ def run(args) -> int:
             **{**cfg.numerics.__dict__, **numerics_updates}))
     if args.end_time is not None:
         cfg = cfg.replace(end_time=args.end_time)
+    if args.dt is not None or args.elastic_dt is not None:
+        cfg = cfg.replace(
+            dt=args.dt if args.dt is not None else cfg.dt,
+            elastic_dt=(args.elastic_dt if args.elastic_dt is not None
+                        else cfg.elastic_dt))
     import dataclasses
 
     if args.bar_amplitude is not None:
@@ -308,7 +319,22 @@ def run(args) -> int:
         n_steps = max(1, int(round((next_event - time) / dt)))
         t0 = _time.time()
         try:
-            state = sim.run_chunk(state, n_steps)
+            if args.no_watchdog:
+                state = sim.run_chunk(state, n_steps)
+            else:
+                # In-loop divergence guard: a CFL blowup goes healthy -> NaN
+                # within tens of steps, and continuing to step a NaN state
+                # can CRASH the TPU worker outright (root cause of the
+                # round-2 "1M Turek flake", BASELINE.md).  The guarded chunk
+                # stops at the FIRST diverged step; the watchdog at the top
+                # of this loop then recovers (reload snapshot, halve dt).
+                state, done, ok = sim.run_chunk_guarded(state, n_steps)
+                if not bool(ok):
+                    log.printf(
+                        "GUARD: divergence %d steps into the interval at "
+                        "t=%e; stopping for watchdog recovery\n",
+                        int(done), time + float(done) * dt)
+                n_steps = max(int(done), 1)
             state.pos.block_until_ready()
         except Exception as e:  # noqa: BLE001 -- device faults arrive as
             # XlaRuntimeError subclasses whose class identity varies by

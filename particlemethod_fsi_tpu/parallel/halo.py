@@ -115,7 +115,7 @@ def compute_splits(sim, ndev: int, positions, valid) -> np.ndarray:
     return s
 
 
-def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 2.0,
+def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 1.2,
                         splits: Optional[np.ndarray] = None,
                         state=None) -> HaloConfig:
     """Size the per-shard buffers from the case geometry: a halo strip is
@@ -124,7 +124,13 @@ def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 2.0,
 
     When ``splits`` is given, capacity is additionally sized from the
     actual initial per-slab occupancy under those planes — equal-width
-    slabs on a skewed scene (dam column) can hold far more than N/ndev."""
+    slabs on a skewed scene (dam column) can hold far more than N/ndev.
+
+    The margin default is 1.2, not 2: every capacity row is a frame row
+    the window sweep pays for every step (measured 124 -> 77 ms/step at 1M
+    on one v5e going 2.0 -> 1.2), and equal-count rebalancing at output
+    cadence keeps per-shard counts near N/ndev.  Saturation is COUNTED
+    (never silent) and the CLI warns on overflow."""
     cap = int(np.ceil(sim.n_pad * occupancy_margin / ndev / 128.0)) * 128
     if splits is not None:
         s = sim.state0 if state is None else state
@@ -301,31 +307,22 @@ def to_slot_state(sim, state: HaloState):
 
 def _extract(buf_cap: int, key_first, *fields):
     """Fixed-size extraction: stable-sort rows so `key_first` rows lead,
-    return the first buf_cap rows of each field plus the leading mask."""
+    return the first buf_cap rows of each field plus the leading mask.
+
+    Sorts only (key, iota) and permutes each payload field with one
+    row-gather of the leading buf_cap indices: a k-operand sort drags every
+    payload column through each compare-exchange stage (the same cost cliff
+    sort_frame documents), and _extract runs up to 7x per halo step.
+    Per-field gathers also keep dtypes intact (oid stays int32)."""
+    n = key_first.shape[0]
     key = jnp.where(key_first, 0, 1).astype(jnp.int32)
-    flat, specs = [], []
-    for a in fields:
-        if a.ndim == 1:
-            flat.append(a)
-            specs.append(1)
-        else:
-            specs.append(a.shape[1])
-            flat.extend(a[:, c] for c in range(a.shape[1]))
-    out = jax.lax.sort((key, *flat), num_keys=1)
-    sorted_key = out[0]
-    rows = out[1:]
-    res = []
-    i = 0
-    for ncols in specs:
-        if ncols == 1:
-            res.append(rows[i][:buf_cap])
-            i += 1
-        else:
-            res.append(jnp.stack([rows[i + c][:buf_cap] for c in range(ncols)], axis=1))
-            i += ncols
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_key, sorig = jax.lax.sort((key, iota), num_keys=2)
+    take = sorig[:buf_cap]
+    res = [a[take] for a in fields]
     mask = sorted_key[:buf_cap] == 0
     overflow = jnp.sum(key == 0) - jnp.sum(mask)
-    return res, mask, overflow
+    return res, mask, overflow, take
 
 
 def _x_extended_grid(grid):
@@ -395,11 +392,71 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     def perm(direction):
         # ring neighbors (periodic domain => circular ring)
         return [(r, (r + direction) % ndev) for r in range(ndev)]
+    # --- C8 frame reuse (round-3): the single-chip margin trick, extended
+    # to the slab decomposition.  While NO particle on ANY shard has moved
+    # more than margin/2 since the last rebuild (global pmax predicate, so
+    # every shard takes the same branch), the step reuses the cached sort
+    # permutation + window tables AND skips migration, strip re-selection
+    # and consolidation -- the per-step sorts that made the halo step ~2x a
+    # single-chip step at matched rows.  Cross-slab coverage stays exact
+    # because the halo strips are selected one margin WIDER than the
+    # support at rebuild time (mirror of the widened candidate support in
+    # Simulation.cell_grid); radius masks always test current positions.
+    use_c8 = bool(use_pallas and cfg.numerics.rebuild_margin > 0.0)
+    margin_len = cfg.numerics.rebuild_margin * sim.spacing
+    thresh2 = sim._rebuild_thresh2
+    strip_support = support + (margin_len if use_c8 else 0.0)
+    s_pad_eff = s_pad if sim.has_structure else 0
+    n_rows = cap + 2 * hal + s_pad_eff
+    struct_base = cap + 2 * hal
+
+    if use_c8:
+        def _win_shapes():
+            p = jax.ShapeDtypeStruct((n_rows, 3), sim.dtype)
+            q = jax.ShapeDtypeStruct((n_rows,), jnp.int32)
+
+            def f(p_, v_, q_):
+                fr = pk.sort_frame(p_, v_, q_, frame_grid,
+                                   with_cell_start=False)
+                return pw.compute_windows(fr, frame_grid, pcfg)
+
+            return jax.eval_shape(f, p, p, q)
+
+        _ws_shape, _wl_shape = _win_shapes()
+
+        def zero_cache():
+            """Global-shape zero cache; ref_own=inf forces a first rebuild."""
+            i32 = jnp.int32
+            return dict(
+                orig=jnp.zeros((ndev * n_rows,), i32),
+                key=jnp.zeros((ndev * n_rows,), i32),
+                prop_s=jnp.zeros((ndev * n_rows,), i32),
+                inv=jnp.zeros((ndev * n_rows,), i32),
+                ws=jnp.zeros((ndev * _ws_shape.shape[0],) + _ws_shape.shape[1:],
+                             _ws_shape.dtype),
+                wl=jnp.zeros((ndev * _wl_shape.shape[0],) + _wl_shape.shape[1:],
+                             _wl_shape.dtype),
+                idx_l=jnp.zeros((ndev * hal,), i32),
+                idx_r=jnp.zeros((ndev * hal,), i32),
+                mask_l=jnp.zeros((ndev * hal,), jnp.bool_),
+                mask_r=jnp.zeros((ndev * hal,), jnp.bool_),
+                ref_own=jnp.full((ndev * cap, 3), jnp.inf, sim.dtype),
+                ref_s=jnp.full((ndev * max(s_pad_eff, 1), 3), jnp.inf,
+                               sim.dtype),
+            )
+    else:
+        zero_cache = None
+
+    def _cond(pred, true_fn, false_fn):
+        """lax.cond, except a python-True predicate (the no-cache path)
+        inlines the true branch with no conditional at all."""
+        if pred is True:
+            return true_fn(None)
+        return jax.lax.cond(pred, true_fn, false_fn, None)
 
     def step_local(prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center,
-                   splits, time):
+                   splits, time, cache):
         rank = jax.lax.axis_index("dp")
-        valid = prop >= 0
         dtype = pos.dtype
 
         # --- elementwise pre-steps ---------------------------------------
@@ -415,63 +472,111 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         pos = wl.periodic_wrap(pos, sim.domain_min, sim.domain_width)
         if sim.has_structure:
             s_pos = wl.periodic_wrap(s_pos, sim.domain_min, sim.domain_width)
-
-        # --- migration: move crossers to the neighbor slab ----------------
+        valid = prop >= 0
+        propf = prop.astype(dtype)
         slab_lo = splits[rank]
         slab_hi = splits[rank + 1]
-        # destination-based routing (not raw </>= slab tests): a particle
-        # that PERIODICALLY WRAPPED from xmax to x0 sits below slab_lo of
-        # the last shard but belongs to shard 0 -- one hop along the ring
-        # in the +1 direction.  Raw comparisons would walk it the long way
-        # around, one slab per step, with wrong neighborhoods throughout.
-        dest = jnp.clip(
-            jnp.searchsorted(splits, pos[:, 0], side="right") - 1,
-            0, ndev - 1)
-        dist = jnp.where(valid, (dest - rank) % ndev, 0)
-        go_right = (dist > 0) & (dist <= ndev // 2)
-        go_left = (dist > 0) & ~go_right
-        propf = prop.astype(dtype)
-        # oid stays int32 end-to-end (lax.sort and ppermute both take mixed
-        # dtypes): riding as f32 would round slot ids above 2^24 (~16.7M
-        # particles) and silently corrupt to_slot_state's restoration
-        (lf, lp, lv, lp0, lo), lmask, lover = _extract(
-            mig, go_left, propf, pos, vel, pos0, oid)
-        (rf, rp, rv, rp0, ro), rmask, rover = _extract(
-            mig, go_right, propf, pos, vel, pos0, oid)
-        lf = jnp.where(lmask, lf, -1.0)
-        rf = jnp.where(rmask, rf, -1.0)
+
+        # --- C8 predicate: GLOBAL max displacement since last rebuild -----
+        if cache is None:
+            rebuild = True  # python-static: no conditionals are emitted
+        else:
+            d2 = jnp.sum((pos - cache["ref_own"]) ** 2, axis=1)
+            disp2 = jnp.max(jnp.where(valid, d2, 0.0))
+            if sim.has_structure:
+                ds2 = jnp.sum((s_pos - cache["ref_s"]) ** 2, axis=1)
+                disp2 = jnp.maximum(
+                    disp2, jnp.max(jnp.where(solid.s_valid, ds2, 0.0)))
+            rebuild = jax.lax.pmax(disp2, "dp") > thresh2
+
+        # --- migration payloads (pure local work inside the cond; the
+        # ppermutes below run unconditionally so no collective sits inside
+        # a branch) --------------------------------------------------------
+        def mig_payloads(_):
+            # destination-based routing (not raw </>= slab tests): a
+            # particle that PERIODICALLY WRAPPED from xmax to x0 sits below
+            # slab_lo of the last shard but belongs to shard 0 -- one hop
+            # along the ring in the +1 direction.  Raw comparisons would
+            # walk it the long way around, one slab per step, with wrong
+            # neighborhoods throughout.
+            dest = jnp.clip(
+                jnp.searchsorted(splits, pos[:, 0], side="right") - 1,
+                0, ndev - 1)
+            dist = jnp.where(valid, (dest - rank) % ndev, 0)
+            go_right = (dist > 0) & (dist <= ndev // 2)
+            go_left = (dist > 0) & ~go_right
+            # oid stays int32 end-to-end (lax.sort and ppermute both take
+            # mixed dtypes): riding as f32 would round slot ids above 2^24
+            # (~16.7M particles) and silently corrupt to_slot_state
+            (lf, lp, lv, lp0, lo), lmask, lover, _ = _extract(
+                mig, go_left, propf, pos, vel, pos0, oid)
+            (rf, rp, rv, rp0, ro), rmask, rover, _ = _extract(
+                mig, go_right, propf, pos, vel, pos0, oid)
+            lf = jnp.where(lmask, lf, -1.0)
+            rf = jnp.where(rmask, rf, -1.0)
+            return (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro,
+                    go_left | go_right, (lover + rover).astype(jnp.int32))
+
+        def mig_dummy(_):
+            zf = jnp.full((mig,), -1.0, dtype)
+            z3 = jnp.zeros((mig, 3), dtype)
+            zi = jnp.zeros((mig,), jnp.int32)
+            return (zf, z3, z3, z3, zi, zf, z3, z3, z3, zi,
+                    jnp.zeros_like(valid), jnp.asarray(0, jnp.int32))
+
+        (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro, go, mover) = _cond(
+            rebuild, mig_payloads, mig_dummy)
 
         recv_right = [jax.lax.ppermute(x, "dp", perm(-1))
                       for x in (lf, lp, lv, lp0, lo)]
         recv_left = [jax.lax.ppermute(x, "dp", perm(+1))
                      for x in (rf, rp, rv, rp0, ro)]
 
-        keep = valid & ~go_left & ~go_right
-        all_prop = jnp.concatenate([jnp.where(keep, propf, -1.0),
-                                    recv_right[0], recv_left[0]])
-        all_pos = jnp.concatenate([pos, recv_right[1], recv_left[1]])
-        all_vel = jnp.concatenate([vel, recv_right[2], recv_left[2]])
-        all_pos0 = jnp.concatenate([pos0, recv_right[3], recv_left[3]])
-        all_oid = jnp.concatenate([oid, recv_right[4], recv_left[4]])
-        (propf2, pos, vel, pos0, oid2), cmask, cover = _extract(
-            cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0, all_oid
-        )
-        prop = jnp.where(cmask, propf2, -1.0).astype(jnp.int32)
-        oid = jnp.where(cmask, oid2, -1)
+        # --- consolidation + fresh strip selection / cached passthrough ---
+        def consolidate(_):
+            keep = valid & ~go
+            all_prop = jnp.concatenate([jnp.where(keep, propf, -1.0),
+                                        recv_right[0], recv_left[0]])
+            all_pos = jnp.concatenate([pos, recv_right[1], recv_left[1]])
+            all_vel = jnp.concatenate([vel, recv_right[2], recv_left[2]])
+            all_pos0 = jnp.concatenate([pos0, recv_right[3], recv_left[3]])
+            all_oid = jnp.concatenate([oid, recv_right[4], recv_left[4]])
+            (propf2, pos2, vel2, pos02, oid2), cmask, cover, _ = _extract(
+                cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0,
+                all_oid)
+            prop2 = jnp.where(cmask, propf2, -1.0).astype(jnp.int32)
+            oid2 = jnp.where(cmask, oid2, -1)
+            valid2 = prop2 >= 0
+            # halo strips one strip_support inside each edge (support + the
+            # C8 margin, so the cached ghost set still covers every true
+            # pair until the rebuild predicate trips)
+            strip_l = valid2 & (pos2[:, 0] < slab_lo + strip_support)
+            strip_r = valid2 & (pos2[:, 0] >= slab_hi - strip_support)
+            _, lmask2, sover1, idx_l = _extract(hal, strip_l)
+            _, rmask2, sover2, idx_r = _extract(hal, strip_r)
+            return (prop2, pos2, pos02, vel2, oid2, idx_l, idx_r,
+                    lmask2, rmask2,
+                    (cover + sover1 + sover2).astype(jnp.int32))
+
+        def passthrough(_):
+            return (prop, pos, pos0, vel, oid, cache["idx_l"], cache["idx_r"],
+                    cache["mask_l"], cache["mask_r"], jnp.asarray(0, jnp.int32))
+
+        (prop, pos, pos0, vel, oid, idx_l, idx_r, mask_l, mask_r,
+         sover) = _cond(rebuild, consolidate, passthrough)
         valid = prop >= 0
-
-        # --- halo strips (one support radius inside each edge) ------------
-        strip_l = valid & (pos[:, 0] < slab_lo + support)
-        strip_r = valid & (pos[:, 0] >= slab_hi - support)
         propf = prop.astype(dtype)
-        (slf, slp, slv), slmask, sover1 = _extract(hal, strip_l, propf, pos, vel)
-        (srf, srp, srv), srmask, sover2 = _extract(hal, strip_r, propf, pos, vel)
-        slf = jnp.where(slmask, slf, -1.0)
-        srf = jnp.where(srmask, srf, -1.0)
-        ghosts_r = [jax.lax.ppermute(x, "dp", perm(-1)) for x in (slf, slp, slv)]
-        ghosts_l = [jax.lax.ppermute(x, "dp", perm(+1)) for x in (srf, srp, srv)]
 
-        # local frame: own rows + ghosts + replicated structure rows
+        # --- strip pos/vel/prop exchange (every step: ghost neighbors'
+        # positions move even while the frame is reused) --------------------
+        slf = jnp.where(mask_l, propf[idx_l], -1.0)
+        srf = jnp.where(mask_r, propf[idx_r], -1.0)
+        ghosts_r = [jax.lax.ppermute(x, "dp", perm(-1))
+                    for x in (slf, pos[idx_l], vel[idx_l])]
+        ghosts_l = [jax.lax.ppermute(x, "dp", perm(+1))
+                    for x in (srf, pos[idx_r], vel[idx_r])]
+
+        # local frame inputs: own rows + ghosts + replicated structure rows
         gl_pos, gr_pos = ghosts_l[1], ghosts_r[1]
         if use_pallas:
             # shift strips that crossed the global ring boundary into the
@@ -492,15 +597,46 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         fprop = jnp.concatenate(parts_prop).astype(jnp.int32)
         fpos = jnp.concatenate(parts_pos)
         fvel = jnp.concatenate(parts_vel)
-        n_rows = fprop.shape[0]
-        struct_base = cap + 2 * hal
 
-        frame = pk.sort_frame(fpos, fvel, fprop, frame_grid,
-                              with_cell_start=not use_pallas)
+        # --- frame: fresh sort + windows / cached-permutation regather ----
+        ref_s_cur = s_pos if sim.has_structure else (
+            jnp.zeros((1, 3), dtype) if cache is None else cache["ref_s"])
+
+        def build(_):
+            frame_ = pk.sort_frame(fpos, fvel, fprop, frame_grid,
+                                   with_cell_start=not use_pallas)
+            inv_ = jnp.zeros(n_rows, jnp.int32).at[frame_.orig].set(
+                jnp.arange(n_rows, dtype=jnp.int32))
+            if use_pallas:
+                ws_, wl_ = pw.compute_windows(frame_, frame_grid, pcfg)
+                coords_ = jnp.zeros((1, 3), jnp.int32)  # unused by pallas
+            else:
+                ws_ = wl_ = jnp.zeros((1,), jnp.int32)
+                coords_ = frame_.coords  # receivers_of needs real coords
+            return (frame_.orig, frame_.key, frame_.prop, frame_.pos,
+                    frame_.vel, frame_.cell_start, coords_, ws_, wl_, inv_,
+                    pos, ref_s_cur)
+
+        def reuse(_):
+            # regather current pos/vel through the cached permutation.
+            # Invalid rows keep their cached sentinel KEY (tail of every
+            # window), so their junk positions never enter a pair.
+            payload = jnp.concatenate([fpos, fvel], axis=1)[cache["orig"]]
+            return (cache["orig"], cache["key"], cache["prop_s"],
+                    payload[:, 0:3], payload[:, 3:6],
+                    jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3), jnp.int32),
+                    cache["ws"], cache["wl"],
+                    cache["inv"], cache["ref_own"], cache["ref_s"])
+
+        (orig, key, prop_s, pos_s, vel_s, cell_start, coords, ws, wl_, inv,
+         ref_own, ref_s) = _cond(rebuild, build, reuse)
+        frame = pk.SortedFrame(key=key, pos=pos_s, vel=vel_s, prop=prop_s,
+                               orig=orig, cell_start=cell_start,
+                               coords=coords)
+        windows = (ws, wl_)
 
         # --- phase 1 everywhere; authoritative fields from the owners -----
         if use_pallas:
-            windows = pw.compute_windows(frame, frame_grid, pcfg)
             f1 = pwt.phase1_fields_pallas_t(
                 frame, frame_grid, sim.kernels, sim.tables, cfg=pcfg,
                 windows=windows, interpret=sim._pallas_interpret)
@@ -508,50 +644,53 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             rv_all = pk.receivers_of(frame)
             f1 = pk.phase1_fields(frame, rv_all, sim.cell_grid, sim.kernels,
                                   sim.tables, cap=sim.cell_capacity)
-        # back to pre-sort row order to slice own/ghost/structure blocks
-        pp_r, pa_r, gc_r, mu_r = pk.unsort(
-            frame, f1["pressure_p"], f1["pressure_a"],
-            f1["gravity_center"], f1["mu"],
-        )
-        own_sl = lambda a: a[:cap]
+        # Phase-1 fields STAY in frame-sorted order; authoritative ghost and
+        # structure values are patched in place via the inverse permutation
+        # (row id -> sorted slot).  A row-order round trip (4-field unsort +
+        # resort key sorts + two capacity-row _extracts) would re-pay the
+        # sort cost the C8 cache exists to avoid.
+        pp_s, pa_s, gc_s, mu_s = (f1["pressure_p"], f1["pressure_a"],
+                                  f1["gravity_center"], f1["mu"])
 
-        # fluid ghosts: exchange fields for the SAME strips (deterministic
-        # extraction: identical keys + stable sort)
-        (el_pp, el_pa, el_gc, el_mu), _, _ = _extract(
-            hal, strip_l, own_sl(pp_r), own_sl(pa_r), own_sl(gc_r), own_sl(mu_r))
-        (er_pp, er_pa, er_gc, er_mu), _, _ = _extract(
-            hal, strip_r, own_sl(pp_r), own_sl(pa_r), own_sl(gc_r), own_sl(mu_r))
-        gl = [jax.lax.ppermute(x, "dp", perm(+1)) for x in (er_pp, er_pa, er_gc, er_mu)]
-        gr_ = [jax.lax.ppermute(x, "dp", perm(-1)) for x in (el_pp, el_pa, el_gc, el_mu)]
+        # fluid ghosts: exchange fields of the SAME strip rows (their sorted
+        # slots via inv[idx]; order matches the pos/vel strips exactly).
+        # Rows beyond the strip mask gather junk, but the matching ghost
+        # rows carry prop=-1 from the pos/vel exchange, so pair math masks
+        # them.
+        sl_slots = inv[idx_l]
+        sr_slots = inv[idx_r]
+        el = [a[sl_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
+        er = [a[sr_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
+        gl = [jax.lax.ppermute(x, "dp", perm(+1)) for x in er]
+        gr_ = [jax.lax.ppermute(x, "dp", perm(-1)) for x in el]
+        ghost_slots = inv[cap + jnp.arange(2 * hal, dtype=jnp.int32)]
 
-        parts_pp = [own_sl(pp_r), gl[0], gr_[0]]
-        parts_pa = [own_sl(pa_r), gl[1], gr_[1]]
-        parts_gc = [own_sl(gc_r), gl[2], gr_[2]]
-        parts_mu = [own_sl(mu_r), gl[3], gr_[3]]
+        def patch(a, lo_v, hi_v, slots):
+            return a.at[slots].set(jnp.concatenate([lo_v, hi_v]))
+
+        pp_s = patch(pp_s, gl[0], gr_[0], ghost_slots)
+        pa_s = patch(pa_s, gl[1], gr_[1], ghost_slots)
+        gc_s = patch(gc_s, gl[2], gr_[2], ghost_slots)
+        mu_s = patch(mu_s, gl[3], gr_[3], ghost_slots)
 
         if sim.has_structure:
             # structure fields: owner shard's values, shared by psum
             s_own = solid.s_valid & (s_pos[:, 0] >= slab_lo) & (s_pos[:, 0] < slab_hi)
+
             def owner_sum(a):
                 m = s_own if a.ndim == 1 else s_own[:, None]
                 return jax.lax.psum(jnp.where(m, a, 0.0), "dp")
 
-            s_pp = owner_sum(pp_r[struct_base:])
-            s_pa = owner_sum(pa_r[struct_base:])
-            s_gc = owner_sum(gc_r[struct_base:])
+            struct_slots = inv[struct_base
+                               + jnp.arange(s_pad, dtype=jnp.int32)]
             s_mu_f = jnp.where(solid.s_valid,
                                sim.tables.shear_viscosity[
                                    jnp.clip(jnp.asarray(s_prop_host), 0, 5)], 0.0)
-            parts_pp.append(s_pp)
-            parts_pa.append(s_pa)
-            parts_gc.append(s_gc)
-            parts_mu.append(s_mu_f)
+            pp_s = pp_s.at[struct_slots].set(owner_sum(pp_s[struct_slots]))
+            pa_s = pa_s.at[struct_slots].set(owner_sum(pa_s[struct_slots]))
+            gc_s = gc_s.at[struct_slots].set(owner_sum(gc_s[struct_slots]))
+            mu_s = mu_s.at[struct_slots].set(s_mu_f)
 
-        pp_rows = jnp.concatenate(parts_pp)
-        pa_rows = jnp.concatenate(parts_pa)
-        gc_rows = jnp.concatenate(parts_gc)
-        mu_rows = jnp.concatenate(parts_mu)
-        (pp_s, pa_s, gc_s, mu_s) = pk.resort(frame, pp_rows, pa_rows, gc_rows, mu_rows)
         fields2 = dict(pressure_p=pp_s, pressure_a=pa_s,
                        gravity_center=gc_s, mu=mu_s)
 
@@ -567,10 +706,10 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 two_dimensional=cfg.two_dimensional,
                 cap=sim.cell_capacity,
             )
-        (force_rows,) = pk.unsort(frame, force_s)
+        # own/struct forces by direct gather (no full-frame unsort)
+        force = force_s[inv[:cap]]
 
         # --- fluid/wall integration on OWN rows ---------------------------
-        force = force_rows[:cap]
         seg = Segments(prop)
         mass = sim.tables.density[jnp.clip(prop, 0, 5)] * sim.volume
         fs = seg.fluid | seg.structure
@@ -582,7 +721,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
 
         # --- structure: replicated integration + elastic substeps ---------
         if sim.has_structure:
-            s_force = owner_sum(force_rows[struct_base:])
+            s_force = owner_sum(force_s[struct_slots])
             s_mass = jnp.where(
                 solid.s_valid,
                 sim.tables.density[jnp.clip(jnp.asarray(s_prop_host), 0, 5)]
@@ -599,43 +738,67 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                     double_position_update=cfg.compat.double_substep_position_update,
                 )
 
-        overflow = (lover + rover + cover + sover1 + sover2).astype(jnp.int32)
-        return (prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center, splits,
-                time + dt, overflow.reshape(1))
+        overflow = (mover + sover).astype(jnp.int32)
+        out = (prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center, splits,
+               time + dt, overflow.reshape(1))
+        if cache is None:
+            return out
+        new_cache = dict(orig=orig, key=key, prop_s=prop_s, inv=inv,
+                         ws=ws, wl=wl_, idx_l=idx_l, idx_r=idx_r,
+                         mask_l=mask_l, mask_r=mask_r,
+                         ref_own=ref_own, ref_s=ref_s)
+        return out + (new_cache,)
 
     pspec, rspec = P("dp"), P()
-    step_mapped = jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=(pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
-                  rspec, rspec),
-        out_specs=(pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
-                   rspec, rspec, pspec),
-        check_vma=False,
-    )
-
-    def _step_tuple(state: HaloState):
-        (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, time,
-         overflow) = step_mapped(
-            state.prop, state.pos, state.pos0, state.vel, state.oid,
-            state.s_pos, state.s_vel, state.wall_center, state.splits,
-            state.time,
+    state_in_specs = (pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
+                      rspec, rspec)
+    state_out_specs = (pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
+                       rspec, rspec, pspec)
+    if use_c8:
+        step_mapped = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=state_in_specs + (pspec,),
+            out_specs=state_out_specs + (pspec,),
+            check_vma=False,
         )
+    else:
+        step_mapped = jax.shard_map(
+            functools.partial(step_local, cache=None), mesh=mesh,
+            in_specs=state_in_specs,
+            out_specs=state_out_specs,
+            check_vma=False,
+        )
+
+    def _step_tuple(state: HaloState, cache=None):
+        args = (state.prop, state.pos, state.pos0, state.vel, state.oid,
+                state.s_pos, state.s_vel, state.wall_center, state.splits,
+                state.time)
+        if use_c8:
+            (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, time,
+             overflow, cache) = step_mapped(*args, cache)
+        else:
+            (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, time,
+             overflow) = step_mapped(*args)
         new_state = HaloState(prop=prop, pos=pos, pos0=pos0, vel=vel,
                               oid=oid, s_pos=s_pos, s_vel=s_vel,
                               wall_center=wc, splits=splits, time=time)
-        return new_state, jnp.max(overflow)
+        return new_state, jnp.max(overflow), cache
 
-    step = jax.jit(_step_tuple)
+    @jax.jit
+    def step(state: HaloState):
+        s, over, _ = _step_tuple(state, zero_cache() if use_c8 else None)
+        return s, over
 
     @functools.partial(jax.jit, static_argnums=1)
     def run_chunk(state: HaloState, n_steps: int):
         def body(carry, _):
-            s, over = carry
-            s, o = _step_tuple(s)
-            return (s, jnp.maximum(over, o)), None
+            s, over, cache = carry
+            s, o, cache = _step_tuple(s, cache)
+            return (s, jnp.maximum(over, o), cache), None
 
-        (s, over), _ = jax.lax.scan(
-            body, (state, jnp.asarray(0, jnp.int32)), None, length=n_steps)
+        init = (state, jnp.asarray(0, jnp.int32),
+                zero_cache() if use_c8 else None)
+        (s, over, _), _ = jax.lax.scan(body, init, None, length=n_steps)
         return s, over
 
     return step, run_chunk, hcfg

@@ -187,7 +187,12 @@ class Simulation:
         # path keeps inputs alive (callers re-use state0 / inspect states)
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._chunk, static_argnums=1, donate_argnums=0)
+        self._chunk_guarded_jit = jax.jit(self._chunk_guarded,
+                                          static_argnums=1, donate_argnums=0)
         self._diag_jit = jax.jit(self._diagnostics)
+        from particlemethod_fsi_tpu.utils.watchdog import sound_speed_bound
+
+        self._speed_limit2 = (2.0 * max(sound_speed_bound(cfg), 1.0)) ** 2
 
     # ------------------------------------------------------------------
     def _rebuild_ghosts(self, positions, valid):
@@ -247,6 +252,8 @@ class Simulation:
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._chunk, static_argnums=1,
                                   donate_argnums=0)
+        self._chunk_guarded_jit = jax.jit(self._chunk_guarded,
+                                          static_argnums=1, donate_argnums=0)
         self._diag_jit = jax.jit(self._diagnostics)
         return True
 
@@ -668,12 +675,58 @@ class Simulation:
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
+    def _chunk_guarded(self, state: ParticleState, n_steps: int):
+        """Chunk with an in-loop divergence guard: stop stepping the moment
+        any valid particle's speed goes non-finite or past the watchdog
+        sound-speed bound.
+
+        Why in-loop: a CFL-violating config diverges healthy -> NaN within
+        tens of steps, and continuing to step a NaN/inf state can CRASH the
+        TPU worker outright (`UNAVAILABLE`, measured on the 1.04M Turek
+        case -- the round-2 "infrastructure flake").  A host-side check at
+        chunk boundaries is too late; ``lax.scan`` cannot early-exit, so
+        this variant is a ``lax.while_loop`` (what scan lowers to anyway)
+        with the predicate extended by a one-reduce health check (<1% of a
+        step).  Returns (state, steps_done, healthy); on divergence, state
+        is the FIRST bad state, never stepped again."""
+        limit2 = jnp.asarray(self._speed_limit2, self.dtype)
+
+        def health(s):
+            v2 = jnp.max(jnp.where(s.prop >= 0,
+                                   jnp.sum(s.vel * s.vel, axis=1), 0.0))
+            return jnp.isfinite(v2) & (v2 < limit2)
+
+        cache0 = (self._init_cache(state) if self._margin_cached
+                  else jnp.zeros((), jnp.int32))
+
+        def cond(carry):
+            i, _, _, ok = carry
+            return (i < n_steps) & ok
+
+        def body(carry):
+            i, s, c, _ = carry
+            if self._margin_cached:
+                s, c = self._step_core(s, c)
+            else:
+                s = self._step(s)
+            return (i + 1, s, c, health(s))
+
+        i, out, _, ok = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), state, cache0,
+             jnp.asarray(True)))
+        return out, i, ok
+
     # ------------------------------------------------------------------
     def step(self, state: ParticleState) -> ParticleState:
         return self._step_jit(state)
 
     def run_chunk(self, state: ParticleState, n_steps: int) -> ParticleState:
         return self._chunk_jit(state, n_steps)
+
+    def run_chunk_guarded(self, state: ParticleState, n_steps: int):
+        """Divergence-guarded chunk; see :meth:`_chunk_guarded`."""
+        return self._chunk_guarded_jit(state, n_steps)
 
     def _diagnostics(self, state: ParticleState) -> dict:
         """Output-time field recomputation (VTK fields + virial stress,

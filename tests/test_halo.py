@@ -85,16 +85,21 @@ def test_halo_coupled_fsi_matches_single_chip(ndev):
 
 
 @pytest.mark.slow
-def test_halo_long_run_migration_and_structure_crossing():
+@pytest.mark.parametrize("margin", [0.0, 0.5])
+def test_halo_long_run_migration_and_structure_crossing(margin):
     """100 steps of coupled FSI on 4 slabs: sustained multi-slab migration
     (the dam front crosses several boundaries) and a structure whose
     particles change owner slabs mid-run, with a mid-run equal-count
-    rebalance.  Must track the single-chip trajectory."""
+    rebalance.  Must track the single-chip trajectory.  margin=0.5 runs the
+    same scenario through the C8 frame-reuse path (pallas_t local engine),
+    where migration happens lazily at rebuild steps."""
     from cases import mini_fsi
     from particlemethod_fsi_tpu.config import SCENES
 
+    kw = dict(backend="pallas_t", pallas_block=32, pallas_wmax=128,
+              rebuild_margin=margin) if margin else {}
     grid = mini_fsi()
-    cfg = dam_like_config().replace(
+    cfg = dam_like_config(**kw).replace(
         scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4)
     )
     sim = Simulation(cfg, grid)
@@ -298,6 +303,46 @@ def test_halo_pallas_t_x_periodic_wrap(ndev):
             wrapped |= bool(np.any(prev_x - x > 20e-3))  # xmax -> x0 jump
         prev_x = x
     assert wrapped, "test scene never exercised the periodic wrap"
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n
+
+    a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
+                       ref["vel"][: grid.n])
+    b = _sorted_by_pos(out["prop"], out["pos"], out["vel"])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_halo_c8_frame_reuse_matches_single_chip(ndev):
+    """C8 margin frame reuse on the halo path (round-3): with
+    rebuild_margin > 0 the halo step must skip migration/sort/windows under
+    the global displacement predicate and still track single-chip pallas_t
+    (which runs its own C8 cache) to summation-order roundoff.  Uses
+    run_chunk so the cache actually carries across steps (the single-step
+    API re-inits it)."""
+    from cases import mini_fsi
+    from particlemethod_fsi_tpu.config import SCENES
+
+    grid = mini_fsi()
+    cfg = dam_like_config(backend="pallas_t", pallas_block=32,
+                          pallas_wmax=128, rebuild_margin=0.5).replace(
+        scene=SCENES["dam"], young_modulus=(0.0, 0.0, 1e3, 1e3, 1e8, 1e4))
+    sim = Simulation(cfg, grid)
+
+    mesh = make_mesh(ndev)
+    _step, run_chunk, hcfg = halo.make_halo_step(sim, mesh)
+    assert halo.make_halo_step.last_engine == "pallas_t"
+    state = halo.partition_state(sim, mesh, hcfg)
+
+    # run single-chip AFTER partitioning: run_chunk donates its carry, which
+    # would delete sim.state0 out from under partition_state
+    s_single = sim.run_chunk(sim.state0, 20)
+    ref = to_numpy(s_single, grid.n)
+
+    state, overflow = run_chunk(state, 20)
+    assert int(overflow) == 0
     out = halo.gather_state(sim, state)
     assert out["prop"].shape[0] == grid.n
 

@@ -112,6 +112,14 @@ def test_transient_device_error_recovery(tmp_path, monkeypatch):
                     "UNAVAILABLE: TPU device error (injected test fault)")
             return super().run_chunk(state, n_steps)
 
+        def run_chunk_guarded(self, state, n_steps):
+            # the watchdog-enabled CLI path goes through the guarded chunk
+            if fails["left"]:
+                fails["left"] -= 1
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU device error (injected test fault)")
+            return super().run_chunk_guarded(state, n_steps)
+
     monkeypatch.setattr(cli, "Simulation", FlakySimulation)
     monkeypatch.setattr("time.sleep", lambda s: None)
     d = tmp_path / "flaky"
@@ -136,6 +144,8 @@ def test_transient_retries_exhausted_reraises(tmp_path, monkeypatch):
     class DeadSimulation(real_sim):
         def run_chunk(self, state, n_steps):
             raise RuntimeError("UNAVAILABLE: TPU device error (persistent)")
+
+        run_chunk_guarded = run_chunk
 
     monkeypatch.setattr(cli, "Simulation", DeadSimulation)
     monkeypatch.setattr("time.sleep", lambda s: None)

@@ -31,6 +31,10 @@ def main():
 
     sim = bench.build_case(n_side=n_side, backend="pallas_t")
     mesh = sh.make_mesh(ndev)
+    if mesh.devices.size != ndev:
+        raise SystemExit(f"need {ndev} devices, mesh has {mesh.devices.size} "
+                         "(one real chip under axon; use the virtual CPU "
+                         "mesh for multi-shard runs)")
     splits = ha.compute_splits(
         sim, ndev, sim.state0.pos, np.asarray(sim.state0.prop) >= 0)
     hcfg = ha.default_halo_config(sim, ndev, splits=splits, state=sim.state0)
