@@ -84,6 +84,15 @@ def main():
     write_grid_file(grid, args.out)
     counts = [int((prop == t).sum()) for t in range(6)]
     print(f"{len(pts)} particles were generated (types {counts})")
+    # wave.data's Dt/ElasticDt are CFL-stable for the default scale 0.2
+    # (l0 = 8.3 mm).  Time steps scale LINEARLY with l0 -- running a finer
+    # grid with the unscaled .data steps diverges and (before the chunk
+    # guard) could crash the TPU worker; see BASELINE.md, Turek root cause.
+    if args.scale > 0.25:
+        f = args.scale / 0.2
+        print(f"NOTE: scale {args.scale:g} shrinks l0 by {f:.1f}x vs the "
+              f".data's design point; pass --dt {1e-4 / f:.2e} "
+              f"--elastic-dt {2e-5 / f:.2e} to the CLI (CFL scales with l0)")
 
 
 if __name__ == "__main__":

@@ -214,12 +214,13 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     # amortize the ~1.6 us per-grid-step Mosaic overhead
     for i in range(sub):
         b = bp * sub + i
+        j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
         rec = rec_all[i * bsz:(i + 1) * bsz]
         id_i = rec[:, 7][:, None]
 
         def chunk_copy(o, k, slot):
             return pltpu.make_async_copy(
-                packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+                packed_ref.at[pl.ds(win_start_ref[o, j] + k * cfg.wmax, cfg.wmax), :],
                 win_scratch.at[o, slot],
                 sems.at[o, slot],
             )
@@ -234,7 +235,7 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
             # unconsumed DMA completion would leak the shared semaphore into the
             # next grid program (ring/poison masks make an empty chunk harmless)
             nch = jnp.maximum(
-                jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                jax.lax.div(win_len_ref[o, j] + jnp.int32(cfg.wmax - 1),
                             jnp.int32(cfg.wmax)),
                 jnp.int32(1),
             )
@@ -344,6 +345,7 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     # amortize the ~1.6 us per-grid-step Mosaic overhead
     for i in range(sub):
         b = bp * sub + i
+        j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
         rec = rec_all[i * bsz:(i + 1) * bsz]
 
         id_i = rec[:, 13][:, None]
@@ -360,7 +362,7 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
 
         def chunk_copy(o, k, slot):
             return pltpu.make_async_copy(
-                packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+                packed_ref.at[pl.ds(win_start_ref[o, j] + k * cfg.wmax, cfg.wmax), :],
                 win_scratch.at[o, slot],
                 sems.at[o, slot],
             )
@@ -374,7 +376,7 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
             # unconsumed DMA completion would leak the shared semaphore into the
             # next grid program (ring/poison masks make an empty chunk harmless)
             nch = jnp.maximum(
-                jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                jax.lax.div(win_len_ref[o, j] + jnp.int32(cfg.wmax - 1),
                             jnp.int32(cfg.wmax)),
                 jnp.int32(1),
             )
@@ -529,6 +531,15 @@ def _pick_sub(n: int, cfg: PallasConfig) -> int:
     return s
 
 
+def _pad_win(a):
+    """[nblocks_total, n_off] -> [n_off, ceil-to-128(nblocks)]: the SMEM
+    block specs hand each program a 128-block-wide chunk, so the table's
+    block axis must be a 128-multiple (the pad is never indexed)."""
+    at = a.T
+    pad = (-at.shape[1]) % 128
+    return jnp.pad(at, ((0, 0), (0, pad)))
+
+
 def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
                   cfg: PallasConfig, w: int, *, interpret: bool,
                   out_w: int = 8, sub: int = 1):
@@ -537,15 +548,18 @@ def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
     n = packed.shape[0] - cfg.wmax  # padded tail
     nblocks = n // cfg.block // sub
     dtype = packed.dtype
-    # window starts ride in per-block SMEM rows (scalar-prefetching the
-    # whole [nblocks, n_off] table overflows the 1 MB SMEM at large grids)
-    # scalar-prefetch window start/length tables TRANSPOSED [n_off, nblocks]:
-    # the prefetcher pads each row to 512 B, so row-per-block layouts blow
-    # the 1 MB SMEM at large grids while n_off rows stay tiny
+    # window start/len tables ride as SMEM-BLOCKED inputs ([n_off, sub]
+    # per program), NOT whole-array scalar prefetch: prefetching the full
+    # [n_off, nblocks] tables overflows the 1 MB SMEM at large frames
+    # (12.8 MB at 9.3M particles in 3-D -- the 10M wave config)
+    win_spec = pl.BlockSpec((n_off, 128), lambda b, *_: (0, (b * sub) // 128),
+                            memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
+            win_spec,
+            win_spec,
             pl.BlockSpec((cfg.block * sub, w), lambda b, *_: (b, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -563,7 +577,7 @@ def _pallas_sweep(kernel_fn, packed, win_start, win_len, n_off,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(win_start.T, win_len.T, packed[:n], packed)
+    )(_pad_win(win_start), _pad_win(win_len), packed[:n], packed)
 
 
 def phase1_fields_pallas(frame: SortedFrame, grid: CellGrid, ks: KernelSet,
@@ -679,6 +693,7 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     # amortize the ~1.6 us per-grid-step Mosaic overhead
     for i in range(sub):
         b = bp * sub + i
+        j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
         rec = rec_all[i * bsz:(i + 1) * bsz]
 
         id_i = rec[:, 13][:, None]
@@ -693,7 +708,7 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
 
         def chunk_copy(o, k, slot):
             return pltpu.make_async_copy(
-                packed_ref.at[pl.ds(win_start_ref[o, b] + k * cfg.wmax, cfg.wmax), :],
+                packed_ref.at[pl.ds(win_start_ref[o, j] + k * cfg.wmax, cfg.wmax), :],
                 win_scratch.at[o, slot],
                 sems.at[o, slot],
             )
@@ -705,7 +720,7 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
         for o in range(n_off):
             # at least one chunk (see _phase1_kernel: semaphore balance)
             nch = jnp.maximum(
-                jax.lax.div(win_len_ref[o, b] + jnp.int32(cfg.wmax - 1),
+                jax.lax.div(win_len_ref[o, j] + jnp.int32(cfg.wmax - 1),
                             jnp.int32(cfg.wmax)),
                 jnp.int32(1),
             )

@@ -277,8 +277,9 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
         starts = []
         chunks = []
         for o in range(n_off):
-            a0, nch = _aligned_chunks(win_start_ref[o, b],
-                                      win_len_ref[o, b], cfg.wmax)
+            j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
+            a0, nch = _aligned_chunks(win_start_ref[o, j],
+                                      win_len_ref[o, j], cfg.wmax)
             starts.append(a0)
             chunks.append(nch)
 
@@ -483,8 +484,9 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
         starts = []
         chunks = []
         for o in range(n_off):
-            a0, nch = _aligned_chunks(win_start_ref[o, b],
-                                      win_len_ref[o, b], cfg.wmax)
+            j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
+            a0, nch = _aligned_chunks(win_start_ref[o, j],
+                                      win_len_ref[o, j], cfg.wmax)
             starts.append(a0)
             chunks.append(nch)
 
@@ -569,13 +571,28 @@ def _sweep_t(kernel_fn, packed_t, extras, win_start, win_len, n_off,
             pltpu.VMEM((n_off, 2, w, cfg.wmax), dtype),  # double-buffered
             pltpu.SemaphoreType.DMA((n_off, 2)),
         ]
+    # window start/len tables ride as SMEM-BLOCKED inputs, NOT whole-array
+    # scalar prefetch: prefetching the full [n_off, nblocks] tables
+    # overflows the 1 MB SMEM at large frames (12.8 MB at 9.3M particles in
+    # 3-D -- the 10M wave config).  Mosaic wants the last block dim to be a
+    # 128-multiple, so each SMEM chunk covers 128 consecutive receiver
+    # blocks and 128/sub consecutive programs share it (sub is a power of
+    # two <= 128); kernels index their slice with
+    # j = (program_id %% (128/sub)) * sub + i.
+    win_spec = pl.BlockSpec((n_off, 128), lambda b, *_: (0, (b * sub) // 128),
+                            memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(nblocks,),
-        in_specs=in_specs,
+        in_specs=[win_spec, win_spec] + in_specs,
         out_specs=pl.BlockSpec((OUT_W, cfg.block * sub), lambda b, *_: (0, b)),
         scratch_shapes=scratch_shapes,
     )
+    def _pad_win(a):  # [nblocks_total, n_off] -> [n_off, ceil128(nblocks)]
+        at = a.T
+        pad = (-at.shape[1]) % 128
+        return jnp.pad(at, ((0, 0), (0, pad)))
+
     return pl.pallas_call(
         kernel_fn,
         grid_spec=grid_spec,
@@ -584,7 +601,7 @@ def _sweep_t(kernel_fn, packed_t, extras, win_start, win_len, n_off,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(win_start.T, win_len.T, *args)
+    )(_pad_win(win_start), _pad_win(win_len), *args)
 
 
 def _key_id_lanes(frame: SortedFrame, grid: CellGrid, dtype):

@@ -202,6 +202,7 @@ class Simulation:
         if self._backend not in ("pallas", "pallas_t"):
             self._frame_grid = self.cell_grid
             self._pad_planes = False
+            self._pad_region_cells = 1
             return
         axes = gh.wrapped_axes(
             self.cell_grid, positions, valid,
@@ -225,10 +226,15 @@ class Simulation:
         self._frame_grid = (self._ghosts.grid if self._ghosts is not None
                             else self.cell_grid)
         # 3-D: plane-align the sorted frame so no receiver block spans a
-        # z-plane boundary (whose windows would cover a full plane; see
-        # packed_engine.pad_frame_planes)
+        # z-plane boundary (see packed_engine.pad_frame_planes).  Row-level
+        # (region_cells=nx) alignment was measured a LOSS at 9.3M (4.6 ->
+        # 6.0 s/step): pads keyed to row-end cells join the windows of
+        # every block that touches a row end, outweighing the rare
+        # y-row-crossing mega-windows they remove.
         self._pad_planes = (not self.cfg.two_dimensional
                             and self._frame_grid.cell_count[2] > 1)
+        self._pad_region_cells = (self._frame_grid.cell_count[0]
+                                  * self._frame_grid.cell_count[1])
 
     def refresh_ghosts(self, state: ParticleState) -> bool:
         """Output-cadence host check that the periodic-wrap plan (sized from
@@ -434,7 +440,8 @@ class Simulation:
         frame = pk.sort_frame(pos, vel, prop, self._frame_grid,
                               with_cell_start=False)
         if self._pad_planes:
-            frame = pk.pad_frame_planes(frame, self._frame_grid)
+            frame = pk.pad_frame_planes(frame, self._frame_grid,
+                                        region_cells=self._pad_region_cells)
         return frame
 
     def _propagate_ghost_fields(self, frame, f1, src):
@@ -586,7 +593,8 @@ class Simulation:
         """Zero frame cache whose ref_pos forces a rebuild on first use."""
         n = self.n_pad
         if self._pad_planes:
-            n += (self._frame_grid.cell_count[2] + 1) * 256
+            n += (self._frame_grid.num_cells // self._pad_region_cells
+                  + 1) * 256
         pcfg = self._pcfg
         nblocks = n // pcfg.block
         n_off = len(pw.row_offsets(self._frame_grid)[0])
