@@ -408,12 +408,31 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
     log.printf("multi-chip: mode=%s mesh=%d devices platform=%s\n",
                args.mode, ndev, jax.devices()[0].platform)
 
+    import jax.numpy as jnp
+
+    def _speed2(prop, vel):
+        return float(jnp.max(jnp.where(
+            prop >= 0, (vel * vel).sum(axis=1), 0.0)))
+
     if args.mode == "allgather":
         mstate = sh.shard_state(state0, mesh)
         run_chunk = sh.make_sharded_runner(sim, mesh)
 
         def advance(ms, n):
-            return run_chunk(ms, n), 0
+            # sub-chunked divergence guard (see the halo branch): bounded
+            # NaN-stepping window so a CFL blowup cannot take the worker
+            # down mid-interval
+            if args.no_watchdog:
+                return run_chunk(ms, n), 0, n, True
+            done = 0
+            while done < n:
+                sub = min(50, n - done)
+                ms = run_chunk(ms, sub)
+                done += sub
+                v2 = _speed2(ms.prop, ms.vel)
+                if not np.isfinite(v2) or v2 > speed_limit ** 2:
+                    return ms, 0, done, False
+            return ms, 0, n, True
 
         def to_slot(ms):
             return ms
@@ -432,8 +451,13 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
                    ha.make_halo_step.last_engine)
 
         def advance(ms, n):
-            ms, over = run_chunk(ms, n)
-            return ms, int(over)
+            # in-loop divergence guard: stop at the FIRST diverged step
+            # (mirror of the single-chip guarded chunk; Turek root cause)
+            if args.no_watchdog:
+                ms, over = run_chunk(ms, n)
+                return ms, int(over), n, True
+            ms, over, done, ok = run_chunk.guarded(ms, n)
+            return ms, int(over), int(done), bool(ok)
 
         def to_slot(ms):
             return ha.to_slot_state(sim, ms)
@@ -495,10 +519,14 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
         next_event = min(output_next, vtk_next, cfg.end_time + dt)
         n_steps = max(1, int(round((next_event - time) / dt)))
         t0 = _time.time()
-        mstate, overflow = advance(mstate, n_steps)
+        mstate, overflow, done, ok = advance(mstate, n_steps)
         jax.block_until_ready(mstate.pos)
-        time += n_steps * dt
-        i_step += n_steps
+        time += done * dt
+        i_step += done
+        if not ok:
+            log.printf("GUARD: divergence %d steps into the interval at "
+                       "t=%e; the boundary watchdog will abort with a "
+                       "snapshot\n", done, time)
         if overflow:
             log.printf("WARNING: halo buffer overflow count %d at t=%e "
                        "(raise HaloConfig caps)\n", overflow, time)

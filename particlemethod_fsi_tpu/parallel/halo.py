@@ -90,12 +90,17 @@ def uniform_splits(sim, ndev: int) -> np.ndarray:
 
 def compute_splits(sim, ndev: int, positions, valid) -> np.ndarray:
     """Equal-count slab boundaries: x-quantiles of the mobile particles,
-    clipped so every slab stays at least one support radius wide (the halo
-    contract: a particle's neighborhood spans at most the adjacent slab)."""
+    clipped so every slab stays at least one ghost-reach wide (the halo
+    contract: a particle's neighborhood spans at most the adjacent slab).
+    The ghost reach is support + the C8 rebuild margin: under frame reuse
+    the strips are selected that much deeper (make_halo_step), and a slab
+    narrower than the reach would need two-hop ghosts the ring never
+    delivers."""
     x = np.asarray(positions)[np.asarray(valid), 0]
     lo = sim.domain_min[0]
     hi = lo + sim.domain_width[0]
-    support = sim.kernels.support_radius
+    support = (sim.kernels.support_radius
+               + sim.cfg.numerics.rebuild_margin * sim.spacing)
     if (hi - lo) < ndev * support:
         raise ValueError(
             f"domain x-width {hi - lo:g} cannot host {ndev} slabs of "
@@ -143,7 +148,10 @@ def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 1.2,
         peak = int(np.bincount(dest, minlength=ndev).max())
         cap = max(cap, int(np.ceil(peak * occupancy_margin / 128.0)) * 128)
     l0 = sim.spacing
-    depth_rows = sim.kernels.support_radius / l0  # ~2.6 at ratio 2.5
+    # strip depth: support radius + the C8 rebuild margin (strips are
+    # selected strip_support deep under frame reuse) + one row of slack
+    depth_rows = (sim.kernels.support_radius / l0  # ~2.6 at ratio 2.5
+                  + sim.cfg.numerics.rebuild_margin)
     cross_sites = sim.domain_width[1] / l0
     if not sim.cfg.two_dimensional:
         cross_sites *= sim.domain_width[2] / l0
@@ -406,8 +414,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     margin_len = cfg.numerics.rebuild_margin * sim.spacing
     thresh2 = sim._rebuild_thresh2
     strip_support = support + (margin_len if use_c8 else 0.0)
-    s_pad_eff = s_pad if sim.has_structure else 0
-    n_rows = cap + 2 * hal + s_pad_eff
+    n_rows = cap + 2 * hal + s_pad
     struct_base = cap + 2 * hal
 
     if use_c8:
@@ -441,7 +448,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 mask_l=jnp.zeros((ndev * hal,), jnp.bool_),
                 mask_r=jnp.zeros((ndev * hal,), jnp.bool_),
                 ref_own=jnp.full((ndev * cap, 3), jnp.inf, sim.dtype),
-                ref_s=jnp.full((ndev * max(s_pad_eff, 1), 3), jnp.inf,
+                ref_s=jnp.full((ndev * max(s_pad, 1), 3), jnp.inf,
                                sim.dtype),
             )
     else:
@@ -663,7 +670,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         er = [a[sr_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
         gl = [jax.lax.ppermute(x, "dp", perm(+1)) for x in er]
         gr_ = [jax.lax.ppermute(x, "dp", perm(-1)) for x in el]
-        ghost_slots = inv[cap + jnp.arange(2 * hal, dtype=jnp.int32)]
+        ghost_slots = inv[cap:cap + 2 * hal]
 
         def patch(a, lo_v, hi_v, slots):
             return a.at[slots].set(jnp.concatenate([lo_v, hi_v]))
@@ -681,8 +688,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 m = s_own if a.ndim == 1 else s_own[:, None]
                 return jax.lax.psum(jnp.where(m, a, 0.0), "dp")
 
-            struct_slots = inv[struct_base
-                               + jnp.arange(s_pad, dtype=jnp.int32)]
+            struct_slots = inv[struct_base:struct_base + s_pad]
             s_mu_f = jnp.where(solid.s_valid,
                                sim.tables.shear_viscosity[
                                    jnp.clip(jnp.asarray(s_prop_host), 0, 5)], 0.0)
@@ -801,4 +807,37 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         (s, over, _), _ = jax.lax.scan(body, init, None, length=n_steps)
         return s, over
 
+    limit2 = float(getattr(sim, "_speed_limit2", np.inf))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk_guarded(state: HaloState, n_steps: int):
+        """Divergence-guarded chunk (mirror of Simulation.run_chunk_guarded):
+        stop stepping at the FIRST state whose max valid-particle speed goes
+        non-finite or past the watchdog bound -- continuing to step a NaN
+        state can crash the TPU worker (BASELINE.md, Turek root cause).
+        Returns (state, overflow, steps_done, healthy)."""
+
+        def health(s):
+            v2 = jnp.max(jnp.where(s.prop >= 0,
+                                   jnp.sum(s.vel * s.vel, axis=1), 0.0))
+            return jnp.isfinite(v2) & (v2 < limit2)
+
+        def cond(carry):
+            i, _, _, _, ok = carry
+            return (i < n_steps) & ok
+
+        def body(carry):
+            i, s, over, cache, _ = carry
+            if use_c8:
+                s, o, cache = _step_tuple(s, cache)
+            else:
+                s, o, _unused = _step_tuple(s, None)
+            return (i + 1, s, jnp.maximum(over, o), cache, health(s))
+
+        init = (jnp.asarray(0, jnp.int32), state, jnp.asarray(0, jnp.int32),
+                zero_cache() if use_c8 else 0, jnp.asarray(True))
+        i, s, over, _, ok = jax.lax.while_loop(cond, body, init)
+        return s, over, i, ok
+
+    run_chunk.guarded = run_chunk_guarded
     return step, run_chunk, hcfg

@@ -352,3 +352,20 @@ def test_halo_c8_frame_reuse_matches_single_chip(ndev):
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(a[2], b[2], rtol=1e-8, atol=1e-13)
+
+
+def test_halo_guarded_chunk_stops_at_divergence():
+    """run_chunk.guarded must stop at the FIRST diverged step (stepping a
+    NaN state can crash the TPU worker -- BASELINE.md Turek root cause)
+    and report ok=False + the step count it reached."""
+    grid = mini_dam()
+    cfg = dam_like_config()
+    # absurd dt: CFL blowup within a few steps
+    cfg = cfg.replace(dt=cfg.dt * 2000.0, elastic_dt=cfg.elastic_dt * 2000.0)
+    sim = Simulation(cfg, grid)
+    mesh = make_mesh(2)
+    _, run_chunk, hcfg = halo.make_halo_step(sim, mesh)
+    state = halo.partition_state(sim, mesh, hcfg)
+    out, over, done, ok = run_chunk.guarded(state, 50)
+    assert not bool(ok)
+    assert 0 < int(done) < 50
