@@ -74,10 +74,19 @@ def main():
                        kind="stable")
     pts, prop = pts[order], prop[order]
 
+    # Domain bounds leave a > support gap (4 l0 > 2.5 l0 ratio) beyond the
+    # outermost wall shells.  Walls flush with the domain boundary trip the
+    # conservative t=0 periodic-wrap check on EVERY axis (the reference
+    # min-images unconditionally, so geometry is the only periodicity
+    # signal), which forces 3-axis ghost duplication, disables C8 frame
+    # reuse, and drops the halo path to the packed engine -- measured 3.4x
+    # per-particle cost at 9.3M vs a gapped box.  Physically identical:
+    # the walls ARE the boundary; nothing exists past them.
+    gap = 4 * l0
     grid = GridData(
         time=0.0, spacing=l0,
-        domain_min=np.array([-nw * l0, -nw * l0, -nw * l0]),
-        domain_max=np.array([LX + nw * l0, LY, LZ + nw * l0]),
+        domain_min=np.array([-nw * l0 - gap, -nw * l0 - gap, -nw * l0 - gap]),
+        domain_max=np.array([LX + nw * l0 + gap, LY, LZ + nw * l0 + gap]),
         prop=prop, position=pts, initial_position=pts.copy(),
         velocity=np.zeros_like(pts),
     )
