@@ -97,7 +97,7 @@ def main():
     # (l0 = 8.3 mm).  Time steps scale LINEARLY with l0 -- running a finer
     # grid with the unscaled .data steps diverges and (before the chunk
     # guard) could crash the TPU worker; see BASELINE.md, Turek root cause.
-    if args.scale > 0.25:
+    if args.scale > 0.2 + 1e-9:  # wave.data Dt=1e-4/ElasticDt=2e-5 design point
         f = args.scale / 0.2
         print(f"NOTE: scale {args.scale:g} shrinks l0 by {f:.1f}x vs the "
               f".data's design point; pass --dt {1e-4 / f:.2e} "

@@ -213,7 +213,6 @@ def _phase1_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     # one grid step handles `sub` consecutive receiver sub-blocks to
     # amortize the ~1.6 us per-grid-step Mosaic overhead
     for i in range(sub):
-        b = bp * sub + i
         j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
         rec = rec_all[i * bsz:(i + 1) * bsz]
         id_i = rec[:, 7][:, None]
@@ -344,7 +343,6 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     # one grid step handles `sub` consecutive receiver sub-blocks to
     # amortize the ~1.6 us per-grid-step Mosaic overhead
     for i in range(sub):
-        b = bp * sub + i
         j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
         rec = rec_all[i * bsz:(i + 1) * bsz]
 
@@ -526,7 +524,9 @@ def _pick_sub(n: int, cfg: PallasConfig) -> int:
     configured request that divides the block count."""
     nblocks = n // cfg.block
     s = 1
-    while (s * 2 <= cfg.subblocks and nblocks % (s * 2) == 0):
+    # cap at 128: the SMEM window tables are 128-block chunks shared by
+    # 128/sub programs, so sub must divide 128
+    while (s * 2 <= min(cfg.subblocks, 128) and nblocks % (s * 2) == 0):
         s *= 2
     return s
 
@@ -692,7 +692,6 @@ def _virial_kernel(win_start_ref, win_len_ref, rec_ref, packed_ref, out_ref,
     # one grid step handles `sub` consecutive receiver sub-blocks to
     # amortize the ~1.6 us per-grid-step Mosaic overhead
     for i in range(sub):
-        b = bp * sub + i
         j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
         rec = rec_all[i * bsz:(i + 1) * bsz]
 

@@ -53,6 +53,7 @@ from particlemethod_fsi_tpu.ops.neighbors import CellGrid
 from particlemethod_fsi_tpu.ops.packed_engine import SortedFrame
 from particlemethod_fsi_tpu.ops.pallas_pairwise import (
     PallasConfig,
+    _pad_win,
     compute_windows,
     row_offsets,
 )
@@ -535,7 +536,8 @@ def _phase2_kernel(win_start_ref, win_len_ref, rec_ref, extra_ref, packed_ref,
 def _pick_sub(n: int, cfg: PallasConfig) -> int:
     nblocks = n // cfg.block
     s = 1
-    while s * 2 <= cfg.subblocks and nblocks % (s * 2) == 0:
+    # cap at 128: SMEM window tables are 128-block chunks (see _sweep_t)
+    while s * 2 <= min(cfg.subblocks, 128) and nblocks % (s * 2) == 0:
         s *= 2
     return s
 
@@ -588,11 +590,6 @@ def _sweep_t(kernel_fn, packed_t, extras, win_start, win_len, n_off,
         out_specs=pl.BlockSpec((OUT_W, cfg.block * sub), lambda b, *_: (0, b)),
         scratch_shapes=scratch_shapes,
     )
-    def _pad_win(a):  # [nblocks_total, n_off] -> [n_off, ceil128(nblocks)]
-        at = a.T
-        pad = (-at.shape[1]) % 128
-        return jnp.pad(at, ((0, 0), (0, pad)))
-
     return pl.pallas_call(
         kernel_fn,
         grid_spec=grid_spec,

@@ -170,6 +170,17 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
     (pass a gathered dict from :func:`rebalance` to re-partition mid-run)."""
     ndev = mesh.devices.size
     splits = uniform_splits(sim, ndev) if splits is None else np.asarray(splits)
+    # ghost-reach feasibility for ANY splits source (uniform --no-rebalance
+    # included): a slab narrower than support + the C8 margin needs
+    # two-hop ghosts the ring never delivers -- pairs would drop silently
+    reach = (sim.kernels.support_radius
+             + sim.cfg.numerics.rebuild_margin * sim.spacing)
+    widths = np.diff(np.asarray(splits, dtype=np.float64))
+    if widths.min() < reach - 1e-12:
+        raise ValueError(
+            f"slab width {widths.min():g} < ghost reach {reach:g} "
+            f"(support + rebuild margin); use fewer devices or equal-count "
+            "splits")
     s = sim.state0 if state is None else state
     if isinstance(s, dict):
         prop = np.asarray(s["prop"])

@@ -202,7 +202,6 @@ class Simulation:
         if self._backend not in ("pallas", "pallas_t"):
             self._frame_grid = self.cell_grid
             self._pad_planes = False
-            self._pad_region_cells = 1
             return
         axes = gh.wrapped_axes(
             self.cell_grid, positions, valid,
@@ -233,8 +232,6 @@ class Simulation:
         # y-row-crossing mega-windows they remove.
         self._pad_planes = (not self.cfg.two_dimensional
                             and self._frame_grid.cell_count[2] > 1)
-        self._pad_region_cells = (self._frame_grid.cell_count[0]
-                                  * self._frame_grid.cell_count[1])
 
     def refresh_ghosts(self, state: ParticleState) -> bool:
         """Output-cadence host check that the periodic-wrap plan (sized from
@@ -440,8 +437,7 @@ class Simulation:
         frame = pk.sort_frame(pos, vel, prop, self._frame_grid,
                               with_cell_start=False)
         if self._pad_planes:
-            frame = pk.pad_frame_planes(frame, self._frame_grid,
-                                        region_cells=self._pad_region_cells)
+            frame = pk.pad_frame_planes(frame, self._frame_grid)
         return frame
 
     def _propagate_ghost_fields(self, frame, f1, src):
@@ -593,8 +589,7 @@ class Simulation:
         """Zero frame cache whose ref_pos forces a rebuild on first use."""
         n = self.n_pad
         if self._pad_planes:
-            n += (self._frame_grid.num_cells // self._pad_region_cells
-                  + 1) * 256
+            n += (self._frame_grid.cell_count[2] + 1) * 256
         pcfg = self._pcfg
         nblocks = n // pcfg.block
         n_off = len(pw.row_offsets(self._frame_grid)[0])
