@@ -291,9 +291,8 @@ class Simulation:
         n_pad = self.n_pad
         prop = grid.prop
         s_idx = np.nonzero((prop >= 2) & (prop < 4))[0]
-        idx = np.zeros((n_pad, k0), dtype=np.int32)
-        mask = np.zeros((n_pad, k0), dtype=bool)
         count = np.zeros(n_pad, dtype=np.int32)
+        hits_per: dict = {}
         if s_idx.size:
             p0 = grid.initial_position[s_idx]
             width = np.asarray(self.domain_width)
@@ -330,13 +329,18 @@ class Simulation:
                 hits = cand[r2 <= r2max]
                 i = s_idx[a]
                 count[i] = hits.size
-                if hits.size > k0:
-                    raise ValueError(
-                        f"initial structure neighbor count {hits.size} exceeds "
-                        f"max_initial_neighbors={k0}"
-                    )
-                idx[i, : hits.size] = s_idx[hits]
-                mask[i, : hits.size] = True
+                hits_per[i] = hits
+        # K0 is a host-side array-sizing knob, not a physical limit:
+        # auto-grow it to the measured max (rounded to 8) so dense 3-D
+        # lattices (27-site shell = 71 at the wave posts) never hard-fail
+        kmax = max((h.size for h in hits_per.values()), default=0)
+        if kmax > k0:
+            k0 = int(np.ceil(kmax / 8.0)) * 8
+        idx = np.zeros((n_pad, k0), dtype=np.int32)
+        mask = np.zeros((n_pad, k0), dtype=bool)
+        for i, hits in hits_per.items():
+            idx[i, : hits.size] = s_idx[hits]
+            mask[i, : hits.size] = True
         # host numpy throughout: build_solid_static compacts these full-size
         # arrays to the structure subset before anything touches the device
         # (uploading [n_pad, K0] here would move 100s of MB over the wire)
