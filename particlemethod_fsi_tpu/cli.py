@@ -178,6 +178,7 @@ def run(args) -> int:
     #                     state would be deleted by the next chunk
     retries = 2  # watchdog auto-recovery budget (halve dt per retry)
     transient_retries = 3  # axon-tunnel UNAVAILABLE faults (BASELINE.md flake)
+    use_guarded = True  # downgraded if the guarded program itself faults
     orig_dt, orig_elastic_dt = cfg.dt, cfg.elastic_dt
     restore_at = None  # time at which a halved recovery dt is restored
 
@@ -321,7 +322,7 @@ def run(args) -> int:
         try:
             if args.no_watchdog:
                 state = sim.run_chunk(state, n_steps)
-            else:
+            elif use_guarded:
                 # In-loop divergence guard: a CFL blowup goes healthy -> NaN
                 # within tens of steps, and continuing to step a NaN state
                 # can CRASH the TPU worker outright (root cause of the
@@ -335,6 +336,31 @@ def run(args) -> int:
                         "t=%e; stopping for watchdog recovery\n",
                         int(done), time + float(done) * dt)
                 n_steps = max(int(done), 1)
+            else:
+                # fallback: sub-chunked plain scans + a one-scalar host
+                # probe between sub-chunks (bounded NaN-stepping window).
+                # Used when the while_loop-based guarded program itself
+                # faults -- observed at 9.3M particles, where the guarded
+                # chunk trips a TPU runtime fault the equivalent scan does
+                # not (identical memory plans; libtpu-level issue).
+                import jax.numpy as jnp
+
+                done = 0
+                while done < n_steps:
+                    sub = min(50, n_steps - done)
+                    state = sim.run_chunk(state, sub)
+                    done += sub
+                    v = state.vel
+                    ms2 = float(jnp.max(jnp.where(
+                        state.prop >= 0, (v * v).sum(axis=1), 0.0)))
+                    if not np.isfinite(ms2) or ms2 > speed_limit ** 2:
+                        log.printf(
+                            "PROBE: max speed %.3g at t=%e; stopping for "
+                            "watchdog recovery\n",
+                            float(np.sqrt(max(ms2, 0.0))),
+                            time + done * dt)
+                        break
+                n_steps = done
             state.pos.block_until_ready()
         except Exception as e:  # noqa: BLE001 -- device faults arrive as
             # XlaRuntimeError subclasses whose class identity varies by
@@ -342,6 +368,13 @@ def run(args) -> int:
             msg = str(e)
             transient = ("UNAVAILABLE" in msg or "DEADLINE_EXCEEDED" in msg
                          or "device error" in msg.lower())
+            if transient and use_guarded and not args.no_watchdog:
+                # the guarded while_loop program itself may be the faulting
+                # kernel (observed at 9.3M); downgrade to sub-chunked plain
+                # scans for the rest of the run before burning retries
+                use_guarded = False
+                log.printf("GUARD: guarded chunk faulted; falling back to "
+                           "sub-chunked plain chunks with host probes\n")
             if not (transient and transient_retries > 0 and last_good):
                 raise
             # in-process recovery from the documented axon-tunnel flake

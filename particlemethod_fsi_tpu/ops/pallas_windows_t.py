@@ -543,7 +543,8 @@ def _pick_sub(n: int, cfg: PallasConfig) -> int:
 
 
 def _sweep_t(kernel_fn, packed_t, extras, win_start, win_len, n_off,
-             cfg: PallasConfig, *, interpret: bool, sub: int):
+             cfg: PallasConfig, *, interpret: bool, sub: int,
+             out_w: int = OUT_W):
     """Launch a field-major phase kernel: packed_t is [W, N + wmax]; the
     receiver block is a lane-blocked view of the same array; optional extras
     is a second [16, N] lane-blocked receiver input."""
@@ -587,13 +588,13 @@ def _sweep_t(kernel_fn, packed_t, extras, win_start, win_len, n_off,
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[win_spec, win_spec] + in_specs,
-        out_specs=pl.BlockSpec((OUT_W, cfg.block * sub), lambda b, *_: (0, b)),
+        out_specs=pl.BlockSpec((out_w, cfg.block * sub), lambda b, *_: (0, b)),
         scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         kernel_fn,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((OUT_W, n), dtype),
+        out_shape=jax.ShapeDtypeStruct((out_w, n), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -736,3 +737,214 @@ def phase2_forces_pallas_t(frame: SortedFrame, fields: dict, grid: CellGrid,
         out = _sweep_t(kern, packed_t, extras, win_start, win_len, len(offs),
                        cfg, interpret=interpret, sub=sub)
     return out[0:3].T
+
+
+VIRIAL_OUT_W = 16  # 9 stress components + 7 pad sublanes (f32 tile height)
+
+
+def _virial_kernel_t(win_start_ref, win_len_ref, rec_ref, extra_ref,
+                     packed_ref, out_ref, win_scratch, sems, *, ks: KernelSet,
+                     cfg: PallasConfig, offs, volume: float,
+                     two_dimensional: bool, with_extra: bool, sub: int = 1,
+                     sentinel: float = 0.0):
+    """Field-major virial stress sweep (calculateVirialStressAtParticle,
+    src/main.cpp:3077-3318): the pairwise force families re-derived with the
+    RECEIVER's pressure only (P_i, not Pi+Pj; viscosity half-weighted),
+    accumulating sum_j f_a * xij_b into 9 components.
+
+    Same sender layout as _phase2_kernel (pack_phase2_t, 16 sublanes).  The
+    row-major virial (`pallas_pairwise._virial_kernel`) packs [N, 128] rows
+    -- 4.8 GB at 9.3M particles plus concatenate/fusion copies, which blew
+    the 16 GB HBM plan for output-time diagnostics at the 10M wave config;
+    this field-major variant moves only live sublanes."""
+    n_off = len(offs)
+    bp = pl.program_id(0)
+    dtype = out_ref.dtype
+    bsz = rec_ref.shape[1] // sub
+
+    c_v = 8.0 if two_dimensional else 10.0
+    scale_di = 1.0 / ks.r2g * ks.radius_g * (volume / ks.spacing)
+    ndim = 2 if cfg.planar else 3
+
+    for i in range(sub):
+        rec_t = rec_ref[:, i * bsz:(i + 1) * bsz].T  # [B, S2_W]
+        rec = _Rec(
+            x=rec_t[:, 0:1], y=rec_t[:, 1:2],
+            z=None if cfg.planar else rec_t[:, 2:3],
+            key=rec_t[:, 13:14], pid=rec_t[:, 14:15],
+        )
+        pp_i = rec_t[:, 3:4]
+        pa_i = rec_t[:, 4:5]
+        gci = (rec_t[:, 5:6], rec_t[:, 6:7], rec_t[:, 7:8])
+        invmu_i = rec_t[:, 8:9]
+        vx_i, vy_i = rec_t[:, 9:10], rec_t[:, 10:11]
+        vz_i = None if cfg.planar else rec_t[:, 11:12]
+        if with_extra:
+            ex_t = extra_ref[:, i * bsz:(i + 1) * bsz].T  # [B, 16]
+            a_i = ex_t[:, 0:1] * (ks.cof_k * ks.cof_k)
+            ir_row = ex_t[:, 1:1 + TYPE_COUNT]
+        else:
+            a_i = ir_row = None
+
+        def v_math(win, off_b, lane_valid, accs):
+            m, xij, rij2 = _ring_and_geom(
+                rec, win, off=off_b, planar=cfg.planar, key_row=13)
+            m = m & (rij2 > 0)
+            if lane_valid is not None:
+                m = m & lane_valid
+            r2s = jnp.where(m, rij2, 1.0)
+            inv_r = jax.lax.rsqrt(r2s)
+            rij = r2s * inv_r
+            eij = tuple(xij[a] * inv_r for a in range(ndim))
+
+            if cfg.uniform_ratio or not with_extra:
+                ratio_ij = 1.0
+            else:
+                prop_j = win[12:13, :]
+                ratio_ij = jnp.zeros_like(rij)
+                for t in range(TYPE_COUNT):
+                    ratio_ij = ratio_ij + jnp.where(
+                        prop_j == float(t), ir_row[:, t:t + 1], 0.0)
+
+            # pressureP family: receiver pressure only (:3106-3140)
+            m_p = m & (ks.radius_p**2 - rij2 > 0)
+            norm_p = 1.0 / ks.swp / ks.radius_p**ks.dim_power
+            q_p = rij * (1.0 / ks.radius_p)
+            omq_p = 1.0 - q_p
+            dwp = norm_p * (-2.0 / ks.radius_p) * omq_p
+            coeff = jnp.where(m_p, pp_i * dwp * volume, 0.0)
+
+            if cfg.surface_tension:
+                # pressureA family (:3143-3180)
+                if cfg.uniform_radii:
+                    m_a, q_a, omq_a = m_p, q_p, omq_p
+                else:
+                    m_a = m & (ks.radius_a**2 - rij2 > 0)
+                    q_a = rij * (1.0 / ks.radius_a)
+                    omq_a = 1.0 - q_a
+                dwa = (1.0 / ks.swa / ks.radius_a**ks.dim_power) \
+                    * omq_a * (1.0 - 3.0 * q_a) / ks.radius_a
+                coeff = coeff + jnp.where(
+                    m_a, pa_i * ratio_ij * dwa * volume, 0.0)
+
+            # viscosity, half-weighted (:3221); invmu trick as in phase 2
+            if cfg.uniform_radii:
+                m_v, omq_v = m_p, omq_p
+            else:
+                m_v = m & (ks.radius_v**2 - rij2 > 0)
+                omq_v = 1.0 - rij * (1.0 / ks.radius_v)
+            ux = win[9:10, :] - vx_i
+            uy = win[10:11, :] - vy_i
+            udote = ux * eij[0] + uy * eij[1]
+            if not cfg.planar:
+                uz = win[11:12, :] - vz_i
+                udote = udote + uz * eij[2]
+            inv_sum = invmu_i + win[8:9, :]
+            mu_h = jnp.where(jnp.isfinite(inv_sum) & (inv_sum > 0),
+                             2.0 / jnp.where(inv_sum > 0, inv_sum, 1.0), 0.0)
+            dwv = (1.0 / ks.swv / ks.radius_v**ks.dim_power) \
+                * (-2.0 / ks.radius_v) * omq_v
+            visc = c_v * mu_h * udote * (-dwv) * inv_r * volume
+            coeff = coeff + 0.5 * jnp.where(m_v, visc, 0.0)
+
+            # diffuse interface (:3234-3301); exactly zero without st
+            if cfg.surface_tension:
+                if cfg.uniform_radii:
+                    m_g, omq_g = m_p, omq_p
+                else:
+                    m_g = m & (ks.radius_g**2 - rij2 > 0)
+                    omq_g = 1.0 - rij * (1.0 / ks.radius_g)
+                norm_g = 1.0 / ks.swg / ks.radius_g**ks.dim_power
+                wgv = norm_g * (omq_g * omq_g)
+                dwg = norm_g * (-2.0 / ks.radius_g) * omq_g
+                gr = -(gci[0] * xij[0] + gci[1] * xij[1])
+                if not cfg.planar:
+                    gr = gr - gci[2] * xij[2]
+                coeff = coeff + jnp.where(
+                    m_g, -a_i * gr * ratio_ij * dwg * scale_di, 0.0)
+                w_g1 = jnp.where(m_g, a_i * ratio_ij * wgv * scale_di, 0.0)
+            else:
+                w_g1 = None
+
+            new = list(accs)
+            for a in range(ndim):
+                f_a = coeff * eij[a]
+                if w_g1 is not None:
+                    f_a = f_a + w_g1 * gci[a]
+                for bb in range(ndim):
+                    new[3 * a + bb] = (accs[3 * a + bb] + jnp.sum(
+                        f_a * xij[bb], axis=1, keepdims=True))
+            return tuple(new)
+
+        starts = []
+        chunks = []
+        for o in range(n_off):
+            j = jax.lax.rem(bp, jnp.int32(128 // sub)) * sub + i
+            a0, nch = _aligned_chunks(win_start_ref[o, j],
+                                      win_len_ref[o, j], cfg.wmax)
+            starts.append(a0)
+            chunks.append(nch)
+
+        accs = tuple(jnp.zeros((bsz, 1), dtype) for _ in range(9))
+        if cfg.merged:
+            accs = _merged_sweep(
+                v_math, packed_ref, win_scratch, sems, starts, chunks,
+                offs, cfg, accs, dtype)
+        else:
+            def chunk_copy(o, a0, k, slot):
+                return pltpu.make_async_copy(
+                    packed_ref.at[:, pl.ds(a0 + k * cfg.wmax, cfg.wmax)],
+                    win_scratch.at[o, slot],
+                    sems.at[o, slot],
+                )
+
+            for o in range(n_off):
+                chunk_copy(o, starts[o], 0, 0).start()
+            for o in range(n_off):
+                a0, nch = starts[o], chunks[o]
+
+                def body(k, accs, o=o, a0=a0, nch=nch):
+                    slot = jax.lax.rem(k, jnp.int32(2))
+                    chunk_copy(o, a0, k, slot).wait()
+
+                    @pl.when(k + 1 < nch)
+                    def _():
+                        chunk_copy(o, a0, k + 1, 1 - slot).start()
+
+                    win = win_scratch[o, slot]  # [S2_W, WMAX]
+                    return v_math(win, offs[o], None, accs)
+
+                accs = jax.lax.fori_loop(0, nch, body, accs)
+
+        z = jnp.zeros((bsz, 1), dtype)
+        out_ref[:, i * bsz:(i + 1) * bsz] = jnp.concatenate(
+            list(accs) + [z] * (VIRIAL_OUT_W - 9), axis=1).T
+
+
+def virial_pallas_t(frame: SortedFrame, fields: dict, grid: CellGrid,
+                    ks: KernelSet, tables, *, volume: float,
+                    two_dimensional: bool, cfg: PallasConfig, windows=None,
+                    interpret: bool = False):
+    """Field-major virial; same contract as pallas_pairwise.virial_pallas:
+    (virial_stress [9, N] row-major components, virial_pressure [N]) in
+    SORTED order."""
+    packed_t, extras = pack_phase2_t(frame, fields, grid, tables, cfg)
+    win_start, win_len = windows if windows is not None else compute_windows(
+        frame, grid, cfg)
+    offs, _ = row_offsets(grid)
+    sub = _pick_sub(frame.pos.shape[0], cfg)
+    kern = functools.partial(
+        _virial_kernel_t, ks=ks, cfg=cfg, offs=offs, volume=volume,
+        two_dimensional=two_dimensional, with_extra=extras is not None,
+        sub=sub, sentinel=float(grid.num_cells))
+    if extras is None:
+        kern_ne = kern
+
+        def kern(ws, wl, rec, hbm, out, scr, sem):
+            return kern_ne(ws, wl, rec, None, hbm, out, scr, sem)
+    out = _sweep_t(kern, packed_t, extras, win_start, win_len, len(offs),
+                   cfg, interpret=interpret, sub=sub, out_w=VIRIAL_OUT_W)
+    stress = out[:9] / volume  # [9, N]
+    d = 2.0 if two_dimensional else 3.0
+    tr = stress[0] + stress[4] + (0.0 if two_dimensional else stress[8])
+    return stress, -tr / d

@@ -780,11 +780,24 @@ class Simulation:
                     volume=self.volume, two_dimensional=cfg.two_dimensional,
                     cfg=pcfg, interpret=self._pallas_interpret,
                 )
-            virial_s, vp_s = pw.virial_pallas(
-                frame, f1, fgrid, self.kernels, self.tables,
-                volume=self.volume, two_dimensional=cfg.two_dimensional,
-                cfg=pcfg, interpret=self._pallas_interpret,
-            )
+            if self._backend == "pallas_t":
+                # field-major virial: the row-major pack is [N, 128] rows
+                # (4.8 GB at 9.3M + fusion copies -- blew the 16 GB HBM
+                # plan for diagnostics at the 10M wave config)
+                virial_s, vp_s = pwt.virial_pallas_t(
+                    frame, f1, fgrid, self.kernels, self.tables,
+                    volume=self.volume,
+                    two_dimensional=cfg.two_dimensional,
+                    cfg=pcfg, windows=windows,
+                    interpret=self._pallas_interpret,
+                )
+            else:
+                virial_s, vp_s = pw.virial_pallas(
+                    frame, f1, fgrid, self.kernels, self.tables,
+                    volume=self.volume,
+                    two_dimensional=cfg.two_dimensional,
+                    cfg=pcfg, interpret=self._pallas_interpret,
+                )
             # true max cell occupancy (the window sweep never consults a
             # cell-capacity bound, but the metric must stay commensurate
             # with the packed backend's cell_overflow; diagnostics cadence

@@ -99,7 +99,7 @@ def test_pallas_diagnostics_match_packed():
         surface_tension=(0.02, 0.02, 0.0, 0.0, 0.02, 0.0)
     )
     sims = {}
-    for backend in ("packed", "pallas"):
+    for backend in ("packed", "pallas", "pallas_t"):
         num = cfg.numerics.__class__(
             dtype=cfg.numerics.dtype, backend=backend, pallas_block=32,
             pallas_wmax=256, cell_capacity=cfg.numerics.cell_capacity,
@@ -107,11 +107,14 @@ def test_pallas_diagnostics_match_packed():
         sims[backend] = Simulation(cfg.replace(numerics=num), grid)
     s = sims["packed"].run_chunk(sims["packed"].state0, 30)
     d_packed = sims["packed"].diagnostics(s)
-    d_pallas = sims["pallas"].diagnostics(s)
     n = grid.n
-    for key in ("pressure_p", "pressure_a", "gravity_center", "force",
-                "virial_stress", "virial_pressure", "neighbor_count"):
-        np.testing.assert_allclose(
-            d_pallas[key][:n], d_packed[key][:n], rtol=1e-9, atol=1e-12,
-            err_msg=key,
-        )
+    # both pallas families: row-major (pallas) and field-major (pallas_t,
+    # whose virial kernel is separate -- virial_pallas_t)
+    for backend in ("pallas", "pallas_t"):
+        d_pallas = sims[backend].diagnostics(s)
+        for key in ("pressure_p", "pressure_a", "gravity_center", "force",
+                    "virial_stress", "virial_pressure", "neighbor_count"):
+            np.testing.assert_allclose(
+                d_pallas[key][:n], d_packed[key][:n], rtol=1e-9, atol=1e-12,
+                err_msg=f"{backend}:{key}",
+            )
