@@ -87,6 +87,10 @@ def build_parser():
                    help="disable the NaN/blow-up watchdog")
     p.add_argument("--mesh", type=int, default=None,
                    help="run multi-chip over an N-device (dp,) mesh")
+    p.add_argument("--mesh-shape", default=None, metavar="NXxNY",
+                   help="halo mode: 2-axis rectangle decomposition over an "
+                        "NX*NY (dpx,dpy) mesh, e.g. 4x2 (lifts the 1-D bound "
+                        "of domain_x/support shards for non-channel scenes)")
     p.add_argument("--mode", default="halo", choices=["allgather", "halo"],
                    help="multi-chip strategy (with --mesh)")
     p.add_argument("--no-rebalance", action="store_true",
@@ -167,7 +171,7 @@ def run(args) -> int:
         grid.time = float(state.time)
         log.printf("restored checkpoint %s at t=%e\n", args.restore, grid.time)
 
-    if args.mesh:
+    if args.mesh or args.mesh_shape:
         return run_multichip(args, cfg, grid, sim, state, log)
 
     from particlemethod_fsi_tpu.utils.watchdog import check_state, sound_speed_bound
@@ -429,17 +433,32 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
     from particlemethod_fsi_tpu.parallel import sharding as sh
     from particlemethod_fsi_tpu.utils.watchdog import check_state, sound_speed_bound
 
-    ndev = args.mesh
+    if args.mesh_shape:
+        try:
+            nx, ny = (int(v) for v in args.mesh_shape.lower().split("x"))
+        except ValueError:
+            log.printf("ERROR: --mesh-shape wants NXxNY (e.g. 4x2), "
+                       "got %r\n", args.mesh_shape)
+            log.close()
+            return 1
+        if args.mode != "halo":
+            log.printf("ERROR: --mesh-shape is halo-mode only\n")
+            log.close()
+            return 1
+        ndev = nx * ny
+    else:
+        nx, ny = args.mesh, 1
+        ndev = args.mesh
     avail = len(jax.devices())
     if avail < ndev:
-        log.printf("ERROR: --mesh %d but only %d devices visible "
+        log.printf("ERROR: mesh of %d devices but only %d visible "
                    "(use --host-devices for virtual CPU testing)\n",
                    ndev, avail)
         log.close()
         return 1
-    mesh = sh.make_mesh(ndev)
-    log.printf("multi-chip: mode=%s mesh=%d devices platform=%s\n",
-               args.mode, ndev, jax.devices()[0].platform)
+    mesh = sh.make_mesh_grid(nx, ny) if ny > 1 else sh.make_mesh(ndev)
+    log.printf("multi-chip: mode=%s mesh=%dx%d devices platform=%s\n",
+               args.mode, nx, ny, jax.devices()[0].platform)
 
     import jax.numpy as jnp
 
@@ -470,18 +489,24 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
         def to_slot(ms):
             return ms
     else:
+        valid0 = np.asarray(state0.prop) >= 0
         if args.no_rebalance:
-            splits = ha.uniform_splits(sim, ndev)
+            splits = ha.uniform_splits(sim, nx, 0)
+            splits_y = ha.uniform_splits(sim, ny, 1)
         else:
-            splits = ha.compute_splits(
-                sim, ndev, state0.pos, np.asarray(state0.prop) >= 0)
-        hcfg = ha.default_halo_config(sim, ndev, splits=splits, state=state0)
+            splits = ha.compute_splits(sim, nx, state0.pos, valid0, axis=0)
+            splits_y = (ha.compute_splits(sim, ny, state0.pos, valid0, axis=1)
+                        if ny > 1 else ha.uniform_splits(sim, 1, 1))
+        hcfg = ha.default_halo_config(
+            sim, (nx, ny) if ny > 1 else ndev, splits=splits,
+            splits_y=splits_y, state=state0)
         mstate = ha.partition_state(sim, mesh, hcfg, splits=splits,
-                                    state=state0)
+                                    splits_y=splits_y, state=state0)
         _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
-        log.printf("halo: capacity=%d migration_cap=%d halo_cap=%d engine=%s\n",
+        log.printf("halo: capacity=%d migration_cap=%d halo_cap=%d "
+                   "halo_cap_y=%d engine=%s\n",
                    hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap,
-                   ha.make_halo_step.last_engine)
+                   hcfg.halo_cap_y, ha.make_halo_step.last_engine)
 
         def advance(ms, n):
             # in-loop divergence guard: stop at the FIRST diverged step

@@ -1,32 +1,44 @@
-"""Scalable multi-chip execution: 1-D slab domain decomposition with
-particle migration and ghost-halo exchange over ``ppermute``.
+"""Scalable multi-chip execution: slab/rectangle domain decomposition with
+particle migration and ghost-halo exchange over ``ppermute`` rings.
 
 The all-gather path (``parallel/sharding.py``) replicates O(N) state per
 chip; this module is the scalable design: each shard owns the fluid/wall
-particles in one x-slab of the domain, and per step exchanges only
+particles in one region of the domain, and per step exchanges only
 
-* migrants -- particles whose positions crossed into a neighboring slab
-  (at most one slab per step given the CFL-bounded motion), and
+* migrants -- particles whose positions crossed into a neighboring region
+  (at most one region per step given the CFL-bounded motion), and
 * halos -- boundary strips one support-radius wide, sent to each neighbor
   as receive-only ghosts, plus their phase-1 fields between the two
   pairwise phases,
 
-all as fixed-size buffers moved with a single left+right ``ppermute`` ring
-over ICI (the ring-attention analog for particle methods; SURVEY.md
-section 5).  Everything is shape-static: membership changes are expressed as
+all as fixed-size buffers moved with left+right ``ppermute`` rings over ICI
+(the ring-attention analog for particle methods; SURVEY.md section 5).
+Everything is shape-static: membership changes are expressed as
 multi-operand ``lax.sort`` compactions (the same primitive the engines
 already lean on), never dynamic shapes.
+
+Decomposition axes follow the mesh: a 1-axis mesh ``("dp",)`` gives the
+1-D x-slab decomposition; a 2-axis mesh ``("dpx", "dpy")`` decomposes into
+x * y rectangles with ALIGNED (tensor-product) split planes, lifting the
+1-D bound of ``domain_x / support`` shards for non-channel scenes (round-2
+verdict, "weak" item 5).  The 2-axis exchange is the classic two-stage
+halo: x strips of own rows ride the x ring first, then y strips are
+selected from own + x-ghost rows and ride the y ring -- corner neighbors
+arrive automatically via the forwarded x-ghosts, so every transfer stays a
+1-hop ``ppermute`` on a torus axis (no diagonal sends, the layout ICI
+wants).  Phase-1 fields repeat the same two stages (x ghosts patched from
+their owners first, so the forwarded corner fields are authoritative).
 
 Coupled FSI: structure particles are REPLICATED on every shard in the
 compact solid-subset order (their count is small relative to the fluid).
 They participate as senders in every shard's local frame, their receiver
 sums (densities, EOS fields, interface force) are computed only on the
-shard that owns their current slab -- whose halo covers their full fluid
+shard that owns their current region -- whose halo covers their full fluid
 neighborhood -- and shared with one owner-masked ``psum``; the elastic
 substeps then run replicated and deterministic on all shards.
 
-Overflow handling: slab occupancy, migration and halo buffer overflows are
-counted and surfaced (like neighbor overflow elsewhere), never silent.
+Overflow handling: region occupancy, migration and halo buffer overflows
+are counted and surfaced (like neighbor overflow elsewhere), never silent.
 """
 
 from __future__ import annotations
@@ -52,17 +64,19 @@ from particlemethod_fsi_tpu.state import Segments
 class HaloConfig(NamedTuple):
     capacity: int  # per-shard particle slots (own fluid/wall particles)
     migration_cap: int = 256  # max migrants per direction per step
-    halo_cap: int = 2048  # max halo particles per direction
+    halo_cap: int = 2048  # max x-halo particles per direction
+    halo_cap_y: int = 0  # max y-halo particles per direction (2-axis mesh)
 
 
 @struct.dataclass
 class HaloState:
-    """Slab-sharded fluid/wall arrays + replicated structure subset.
+    """Region-sharded fluid/wall arrays + replicated structure subset.
 
-    ``splits`` [ndev+1] are the slab boundary planes along x (replicated);
-    equal-width by default, recomputed by :func:`rebalance` for equal-count
-    load balancing under skewed density (e.g. a dam break piling into a few
-    slabs)."""
+    ``splits`` [nx+1] are the x split planes and ``splits_y`` [ny+1] the y
+    split planes (both replicated; ny = 1 on a 1-axis mesh, where
+    ``splits_y`` degenerates to the domain y bounds).  Equal-width by
+    default, recomputed by :func:`rebalance` for equal-count load balancing
+    under skewed density (e.g. a dam break piling into a few regions)."""
 
     prop: jax.Array  # [ndev*cap] int32, -1 = empty
     pos: jax.Array  # [ndev*cap, 3]
@@ -73,40 +87,66 @@ class HaloState:
     s_pos: jax.Array  # [S_pad, 3] replicated structure positions
     s_vel: jax.Array  # [S_pad, 3]
     wall_center: jax.Array
-    splits: jax.Array  # [ndev+1] slab boundaries along x (replicated)
+    splits: jax.Array  # [nx+1] region boundaries along x (replicated)
+    splits_y: jax.Array  # [ny+1] region boundaries along y (replicated)
     time: jax.Array
 
 
-def _slab_bounds(sim, ndev):
-    x0 = sim.domain_min[0]
-    w = sim.domain_width[0] / ndev
-    return x0, w
+def mesh_shape(mesh: Mesh) -> tuple[int, int]:
+    """(nx, ny) decomposition shape of a 1- or 2-axis mesh."""
+    shape = mesh.devices.shape
+    if len(shape) == 1:
+        return int(shape[0]), 1
+    if len(shape) == 2:
+        return int(shape[0]), int(shape[1])
+    raise ValueError(f"halo decomposition supports 1- or 2-axis meshes, "
+                     f"got shape {shape}")
 
 
-def uniform_splits(sim, ndev: int) -> np.ndarray:
-    x0, w = _slab_bounds(sim, ndev)
-    return x0 + w * np.arange(ndev + 1)
+def _axis_names(mesh: Mesh) -> tuple[str, Optional[str]]:
+    names = tuple(mesh.axis_names)
+    if len(names) == 1:
+        return names[0], None
+    return names[0], names[1]
 
 
-def compute_splits(sim, ndev: int, positions, valid) -> np.ndarray:
-    """Equal-count slab boundaries: x-quantiles of the mobile particles,
-    clipped so every slab stays at least one ghost-reach wide (the halo
-    contract: a particle's neighborhood spans at most the adjacent slab).
-    The ghost reach is support + the C8 rebuild margin: under frame reuse
-    the strips are selected that much deeper (make_halo_step), and a slab
-    narrower than the reach would need two-hop ghosts the ring never
-    delivers."""
-    x = np.asarray(positions)[np.asarray(valid), 0]
-    lo = sim.domain_min[0]
-    hi = lo + sim.domain_width[0]
-    support = (sim.kernels.support_radius
-               + sim.cfg.numerics.rebuild_margin * sim.spacing)
+def _pspec(mesh: Mesh) -> P:
+    """PartitionSpec sharding dim 0 over every mesh axis (block index =
+    ix * ny + iy, verified row-major over (ix, iy))."""
+    names = tuple(mesh.axis_names)
+    return P(names[0]) if len(names) == 1 else P(names)
+
+
+def uniform_splits(sim, n: int, axis: int = 0) -> np.ndarray:
+    lo = sim.domain_min[axis]
+    w = sim.domain_width[axis] / n
+    return lo + w * np.arange(n + 1)
+
+
+def _ghost_reach(sim) -> float:
+    return (sim.kernels.support_radius
+            + sim.cfg.numerics.rebuild_margin * sim.spacing)
+
+
+def compute_splits(sim, ndev: int, positions, valid,
+                   axis: int = 0) -> np.ndarray:
+    """Equal-count split planes along one axis: coordinate quantiles of the
+    mobile particles, clipped so every region stays at least one ghost-reach
+    wide (the halo contract: a particle's neighborhood spans at most the
+    adjacent region).  The ghost reach is support + the C8 rebuild margin:
+    under frame reuse the strips are selected that much deeper
+    (make_halo_step), and a region narrower than the reach would need
+    two-hop ghosts the ring never delivers."""
+    x = np.asarray(positions)[np.asarray(valid), axis]
+    lo = sim.domain_min[axis]
+    hi = lo + sim.domain_width[axis]
+    support = _ghost_reach(sim)
     if (hi - lo) < ndev * support:
         raise ValueError(
-            f"domain x-width {hi - lo:g} cannot host {ndev} slabs of "
-            f"minimum width {support:g}")
+            f"domain axis-{axis} width {hi - lo:g} cannot host {ndev} "
+            f"regions of minimum width {support:g}")
     q = np.quantile(x, np.linspace(0.0, 1.0, ndev + 1)) if x.size else \
-        uniform_splits(sim, ndev)
+        uniform_splits(sim, ndev, axis)
     s = np.asarray(q, dtype=np.float64)
     s[0], s[-1] = lo, hi
     # enforce the minimum width left-to-right, then right-to-left
@@ -120,67 +160,123 @@ def compute_splits(sim, ndev: int, positions, valid) -> np.ndarray:
     return s
 
 
-def default_halo_config(sim, ndev: int, *, occupancy_margin: float = 1.2,
+def _dest_regions(pos, splits_x, splits_y, nx, ny):
+    """Host-side destination region (ix*ny + iy) per particle."""
+    ix = np.clip(np.searchsorted(splits_x, pos[:, 0], side="right") - 1,
+                 0, nx - 1)
+    if ny == 1:
+        return ix
+    iy = np.clip(np.searchsorted(splits_y, pos[:, 1], side="right") - 1,
+                 0, ny - 1)
+    return ix * ny + iy
+
+
+def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
                         splits: Optional[np.ndarray] = None,
+                        splits_y: Optional[np.ndarray] = None,
                         state=None) -> HaloConfig:
     """Size the per-shard buffers from the case geometry: a halo strip is
-    one support radius deep by the slab's full cross-section, counted in
+    one support radius deep by the region's full cross-section, counted in
     lattice sites (support/l0 particle rows deep x (width/l0 per axis)).
 
-    When ``splits`` is given, capacity is additionally sized from the
-    actual initial per-slab occupancy under those planes — equal-width
-    slabs on a skewed scene (dam column) can hold far more than N/ndev.
+    ``ndev`` is an int (1-axis mesh) or an ``(nx, ny)`` shape.  When
+    ``splits``/``splits_y`` are given, capacity is additionally sized from
+    the actual initial per-region occupancy under those planes — equal-width
+    regions on a skewed scene (dam column) can hold far more than N/ndev.
 
     The margin default is 1.2, not 2: every capacity row is a frame row
     the window sweep pays for every step (measured 124 -> 77 ms/step at 1M
     on one v5e going 2.0 -> 1.2), and equal-count rebalancing at output
     cadence keeps per-shard counts near N/ndev.  Saturation is COUNTED
     (never silent) and the CLI warns on overflow."""
-    cap = int(np.ceil(sim.n_pad * occupancy_margin / ndev / 128.0)) * 128
-    if splits is not None:
-        s = sim.state0 if state is None else state
-        prop = np.asarray(s.prop)
-        pos = np.asarray(s.pos)
-        valid = (prop >= 0) & ~((prop >= 2) & (prop < 4))
-        dest = np.clip(
-            np.searchsorted(splits, pos[valid, 0], side="right") - 1,
-            0, ndev - 1)
-        peak = int(np.bincount(dest, minlength=ndev).max())
+    nx, ny = (int(ndev), 1) if np.isscalar(ndev) else (
+        int(ndev[0]), int(ndev[1]))
+    ntot = nx * ny
+    cap = int(np.ceil(sim.n_pad * occupancy_margin / ntot / 128.0)) * 128
+    s = sim.state0 if state is None else state
+    prop = np.asarray(s.prop)
+    pos = np.asarray(s.pos)
+    valid = (prop >= 0) & ~((prop >= 2) & (prop < 4))
+    sx = uniform_splits(sim, nx, 0) if splits is None else np.asarray(splits)
+    sy = uniform_splits(sim, ny, 1) if splits_y is None else \
+        np.asarray(splits_y)
+    if splits is not None or splits_y is not None or ny > 1:
+        dest = _dest_regions(pos[valid], sx, sy, nx, ny)
+        peak = int(np.bincount(dest, minlength=ntot).max())
         cap = max(cap, int(np.ceil(peak * occupancy_margin / 128.0)) * 128)
     l0 = sim.spacing
     # strip depth: support radius + the C8 rebuild margin (strips are
     # selected strip_support deep under frame reuse) + one row of slack
     depth_rows = (sim.kernels.support_radius / l0  # ~2.6 at ratio 2.5
                   + sim.cfg.numerics.rebuild_margin)
+    z_sites = 1.0 if sim.cfg.two_dimensional else sim.domain_width[2] / l0
+    # x strips span the region's y cross-section (full domain height on a
+    # 1-axis mesh, domain_height/ny + the forwarded ghost depth on 2-axis)
     cross_sites = sim.domain_width[1] / l0
-    if not sim.cfg.two_dimensional:
-        cross_sites *= sim.domain_width[2] / l0
-    strip_particles = cross_sites * (depth_rows + 1.0)
+    if ny > 1:
+        cross_sites = cross_sites / ny + 2.0 * (depth_rows + 1.0)
+    strip_particles = cross_sites * (depth_rows + 1.0) * z_sites
     halo = int(np.ceil(strip_particles * occupancy_margin / 128.0)) * 128
-    mig = max(256, halo // 4)
-    return HaloConfig(capacity=cap, migration_cap=mig, halo_cap=halo)
+    halo_y = 0
+    if ny > 1:
+        # y strips span the region's x width plus both x-ghost layers
+        cross_x = sim.domain_width[0] / l0 / nx + 2.0 * (depth_rows + 1.0)
+        strip_y = cross_x * (depth_rows + 1.0) * z_sites
+        halo_y = int(np.ceil(strip_y * occupancy_margin / 128.0)) * 128
+        # occupancy-based bump: initial strip peaks under the given planes
+        reach = _ghost_reach(sim) + l0
+        px, py = pos[valid, 0], pos[valid, 1]
+        peaks_x, peaks_y = 0, 0
+        for ix in range(nx):
+            in_x = (px >= sx[ix]) & (px < sx[ix + 1])
+            for iy in range(ny):
+                in_y = (py >= sy[iy]) & (py < sy[iy + 1])
+                own = in_x & in_y
+                peaks_x = max(peaks_x,
+                              int(np.sum(own & (px < sx[ix] + reach))),
+                              int(np.sum(own & (px >= sx[ix + 1] - reach))))
+                near_x = (px >= sx[ix] - reach) & (px < sx[ix + 1] + reach)
+                peaks_y = max(peaks_y,
+                              int(np.sum(near_x & in_y
+                                         & (py < sy[iy] + reach))),
+                              int(np.sum(near_x & in_y
+                                         & (py >= sy[iy + 1] - reach))))
+        halo = max(halo, int(np.ceil(
+            peaks_x * occupancy_margin / 128.0)) * 128)
+        halo_y = max(halo_y, int(np.ceil(
+            peaks_y * occupancy_margin / 128.0)) * 128)
+    mig = max(256, (halo + halo_y) // 4)
+    return HaloConfig(capacity=cap, migration_cap=mig, halo_cap=halo,
+                      halo_cap_y=halo_y)
 
 
 def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
                     splits: Optional[np.ndarray] = None,
+                    splits_y: Optional[np.ndarray] = None,
                     state=None) -> HaloState:
-    """Host-side partition: fluid/wall particles into per-shard slabs (by
-    ``splits`` planes; equal-width default); structure particles into the
-    replicated solid-subset arrays.  ``state`` defaults to ``sim.state0``
-    (pass a gathered dict from :func:`rebalance` to re-partition mid-run)."""
-    ndev = mesh.devices.size
-    splits = uniform_splits(sim, ndev) if splits is None else np.asarray(splits)
+    """Host-side partition: fluid/wall particles into per-shard regions (by
+    ``splits``/``splits_y`` planes; equal-width default); structure
+    particles into the replicated solid-subset arrays.  ``state`` defaults
+    to ``sim.state0`` (pass a gathered dict from :func:`rebalance` to
+    re-partition mid-run)."""
+    nx, ny = mesh_shape(mesh)
+    splits = uniform_splits(sim, nx, 0) if splits is None \
+        else np.asarray(splits)
+    splits_y = uniform_splits(sim, ny, 1) if splits_y is None \
+        else np.asarray(splits_y)
     # ghost-reach feasibility for ANY splits source (uniform --no-rebalance
-    # included): a slab narrower than support + the C8 margin needs
+    # included): a region narrower than support + the C8 margin needs
     # two-hop ghosts the ring never delivers -- pairs would drop silently
-    reach = (sim.kernels.support_radius
-             + sim.cfg.numerics.rebuild_margin * sim.spacing)
-    widths = np.diff(np.asarray(splits, dtype=np.float64))
-    if widths.min() < reach - 1e-12:
-        raise ValueError(
-            f"slab width {widths.min():g} < ghost reach {reach:g} "
-            f"(support + rebuild margin); use fewer devices or equal-count "
-            "splits")
+    reach = _ghost_reach(sim)
+    for name, s, n in (("x", splits, nx), ("y", splits_y, ny)):
+        if n == 1:
+            continue
+        widths = np.diff(np.asarray(s, dtype=np.float64))
+        if widths.min() < reach - 1e-12:
+            raise ValueError(
+                f"{name} region width {widths.min():g} < ghost reach "
+                f"{reach:g} (support + rebuild margin); use fewer devices "
+                "or equal-count splits")
     s = sim.state0 if state is None else state
     if isinstance(s, dict):
         prop = np.asarray(s["prop"])
@@ -200,8 +296,8 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
         wall_center = np.asarray(s.wall_center)
     is_struct = (prop >= 2) & (prop < 4)
     valid = (prop >= 0) & ~is_struct
-    out = _fill_slabs(prop, pos, vel, pos0, oid, valid, splits, ndev,
-                      hcfg.capacity)
+    out = _fill_regions(prop, pos, vel, pos0, oid, valid, splits, splits_y,
+                        nx, ny, hcfg.capacity)
 
     if state is None or not isinstance(s, dict):
         # replicated structure subset (solid-static order) from slot arrays
@@ -214,7 +310,7 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
         s_pos = np.asarray(s["s_pos"])
         s_vel = np.asarray(s["s_vel"])
 
-    pspec = NamedSharding(mesh, P("dp"))
+    pspec = NamedSharding(mesh, _pspec(mesh))
     rspec = NamedSharding(mesh, P())
     dtype = sim.dtype
     return HaloState(
@@ -228,13 +324,15 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
         wall_center=jax.device_put(jnp.asarray(wall_center, dtype=dtype),
                                    rspec),
         splits=jax.device_put(jnp.asarray(splits, dtype=dtype), rspec),
+        splits_y=jax.device_put(jnp.asarray(splits_y, dtype=dtype), rspec),
         time=jax.device_put(jnp.asarray(time, dtype=dtype), rspec),
     )
 
 
-def _fill_slabs(prop, pos, vel, pos0, oid, valid, splits, ndev, c):
-    dest = np.clip(np.searchsorted(splits, pos[:, 0], side="right") - 1,
-                   0, ndev - 1)
+def _fill_regions(prop, pos, vel, pos0, oid, valid, splits, splits_y,
+                  nx, ny, c):
+    dest = _dest_regions(pos, splits, splits_y, nx, ny)
+    ndev = nx * ny
     out_prop = np.full((ndev * c,), -1, dtype=np.int32)
     out_pos = np.zeros((ndev * c, 3), dtype=pos.dtype)
     out_vel = np.zeros((ndev * c, 3), dtype=vel.dtype)
@@ -244,8 +342,8 @@ def _fill_slabs(prop, pos, vel, pos0, oid, valid, splits, ndev, c):
         idx = np.nonzero(valid & (dest == r))[0]
         if idx.size > c:
             raise ValueError(
-                f"slab {r} holds {idx.size} particles > capacity {c}; raise "
-                "HaloConfig.capacity"
+                f"region {r} holds {idx.size} particles > capacity {c}; "
+                "raise HaloConfig.capacity"
             )
         sli = slice(r * c, r * c + idx.size)
         out_prop[sli] = prop[idx]
@@ -261,18 +359,21 @@ def rebalance(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState) -> HaloState:
     """Host-side load rebalancing at output cadence: recompute equal-count
     split planes from the current particle distribution and re-partition the
     fluid/wall rows (structure subset and wall state carry over unchanged)."""
-    ndev = mesh.devices.size
+    nx, ny = mesh_shape(mesh)
     prop = np.asarray(state.prop)
     pos = np.asarray(state.pos)
     valid = prop >= 0
-    splits = compute_splits(sim, ndev, pos, valid)
+    splits = compute_splits(sim, nx, pos, valid, axis=0)
+    splits_y = compute_splits(sim, ny, pos, valid, axis=1) if ny > 1 \
+        else uniform_splits(sim, 1, 1)
     gathered = dict(
         prop=prop, pos=pos, vel=np.asarray(state.vel),
         pos0=np.asarray(state.pos0), oid=np.asarray(state.oid),
         s_pos=np.asarray(state.s_pos), s_vel=np.asarray(state.s_vel),
         wall_center=np.asarray(state.wall_center), time=float(state.time),
     )
-    return partition_state(sim, mesh, hcfg, splits=splits, state=gathered)
+    return partition_state(sim, mesh, hcfg, splits=splits, splits_y=splits_y,
+                           state=gathered)
 
 
 def gather_state(sim, state: HaloState) -> dict:
@@ -344,20 +445,22 @@ def _extract(buf_cap: int, key_first, *fields):
     return res, mask, overflow, take
 
 
-def _x_extended_grid(grid):
-    """Cell grid grown by one ghost-cell layer on each x side (the halo
-    frame's wrap layer: the window sweep pairs by coordinate adjacency, so
-    cross-global-boundary strips are SHIFTED into this layer instead of
-    relying on min-image like the packed engine)."""
+def _extended_grid(grid, extend_y: bool):
+    """Cell grid grown by one ghost-cell layer on each x side (and each y
+    side on a 2-axis mesh): the halo frame's wrap layer.  The window sweep
+    pairs by coordinate adjacency, so cross-global-boundary strips are
+    SHIFTED into this layer instead of relying on min-image like the packed
+    engine."""
     from particlemethod_fsi_tpu.ops.neighbors import CellGrid
 
     dmin = list(grid.domain_min)
     width = list(grid.domain_width)
     counts = list(grid.cell_count)
     cw = list(grid.cell_width)
-    dmin[0] -= cw[0]
-    width[0] += 2.0 * cw[0]
-    counts[0] += 2
+    for d in (0, 1) if extend_y else (0,):
+        dmin[d] -= cw[d]
+        width[d] += 2.0 * cw[d]
+        counts[d] += 2
     return CellGrid(
         domain_min=tuple(dmin), domain_width=tuple(width),
         cell_count=tuple(counts), cell_width=tuple(cw),
@@ -372,31 +475,46 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     The local pairwise phases run on the same engine the sim is configured
     for: the ``pallas_t`` window sweep (the single-chip fast path; round-2
     verdict item 2) when the backend is pallas_t and any periodic pairs are
-    x-only, else the portable packed engine.  The window sweep clips at the
-    frame-grid edge instead of min-imaging, so the x wrap is realized by a
-    one-cell ghost layer on each x side of the grid plus a ±domain-width
-    shift of the ghost strips that crossed the global ring boundary
-    (mirroring ops/ghosts.py single-chip; y/z-wrapped scenes fall back to
-    the packed engine until per-shard y/z duplication is wired)."""
-    ndev = mesh.devices.size
-    hcfg = hcfg or default_halo_config(sim, ndev)
+    representable by the ring's ghost layers (x always; y too on a 2-axis
+    mesh with ny >= 2, where every y-boundary pair crosses shards), else the
+    portable packed engine.  The window sweep clips at the frame-grid edge
+    instead of min-imaging, so wraps are realized by a one-cell ghost layer
+    on each decomposed side of the grid plus a ±domain-width shift of the
+    ghost strips that crossed the global ring boundary (mirroring
+    ops/ghosts.py single-chip; z-wrapped scenes fall back to the packed
+    engine)."""
+    nx, ny = mesh_shape(mesh)
+    ndev = nx * ny
+    two_axis = ny > 1
+    ax_x, ax_y = _axis_names(mesh)
+    axes = (ax_x,) if ax_y is None else (ax_x, ax_y)
+    hcfg = hcfg or default_halo_config(sim, (nx, ny) if two_axis else ndev)
     g_axes = gh.spec_axes(getattr(sim, "_ghosts", None))
+    # y wrap rides the y ring's shifted ghost layer when ny >= 2 (every
+    # y-boundary pair crosses shards); z wrap has no decomposed axis
+    y_ok = (not g_axes[1]) or two_axis
     use_pallas = (getattr(sim, "_backend", "") == "pallas_t"
-                  and not (g_axes[1] or g_axes[2]))
-    frame_grid = _x_extended_grid(sim.cell_grid) if use_pallas else sim.cell_grid
+                  and y_ok and not g_axes[2])
+    frame_grid = _extended_grid(sim.cell_grid, two_axis) if use_pallas \
+        else sim.cell_grid
     pcfg = sim._pcfg if use_pallas else None
     # record the local-engine choice for callers (CLI log line, tests)
     make_halo_step.last_engine = "pallas_t" if use_pallas else "packed"
     # a per-shard strip can never hold more than `capacity` rows, and
     # `_extract` on a capacity-row array returns at most that many — larger
     # buffers would desynchronize the frame layout (struct_base) below
+    if two_axis and hcfg.halo_cap_y <= 0:
+        raise ValueError("2-axis mesh needs HaloConfig.halo_cap_y > 0 "
+                         "(default_halo_config sizes it from the geometry)")
     hcfg = hcfg._replace(
         migration_cap=min(hcfg.migration_cap, hcfg.capacity),
         halo_cap=min(hcfg.halo_cap, hcfg.capacity),
+        halo_cap_y=min(hcfg.halo_cap_y, hcfg.capacity) if two_axis else 0,
     )
     cfg = sim.cfg
     dt = cfg.dt
     cap, mig, hal = hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap
+    hal_y = hcfg.halo_cap_y
     support = sim.kernels.support_radius
     grav = np.asarray(cfg.gravity)
     solid = sim.solid
@@ -408,16 +526,16 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         si = np.where(sv, np.asarray(solid.s_idx), 0)
         s_prop_host = np.where(sv, sim.state0_host["prop"][si], -1).astype(np.int32)
 
-    def perm(direction):
+    def perm(direction, n):
         # ring neighbors (periodic domain => circular ring)
-        return [(r, (r + direction) % ndev) for r in range(ndev)]
+        return [(r, (r + direction) % n) for r in range(n)]
     # --- C8 frame reuse (round-3): the single-chip margin trick, extended
-    # to the slab decomposition.  While NO particle on ANY shard has moved
+    # to the region decomposition.  While NO particle on ANY shard has moved
     # more than margin/2 since the last rebuild (global pmax predicate, so
     # every shard takes the same branch), the step reuses the cached sort
     # permutation + window tables AND skips migration, strip re-selection
     # and consolidation -- the per-step sorts that made the halo step ~2x a
-    # single-chip step at matched rows.  Cross-slab coverage stays exact
+    # single-chip step at matched rows.  Cross-region coverage stays exact
     # because the halo strips are selected one margin WIDER than the
     # support at rebuild time (mirror of the widened candidate support in
     # Simulation.cell_grid); radius masks always test current positions.
@@ -425,8 +543,9 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     margin_len = cfg.numerics.rebuild_margin * sim.spacing
     thresh2 = sim._rebuild_thresh2
     strip_support = support + (margin_len if use_c8 else 0.0)
-    n_rows = cap + 2 * hal + s_pad
-    struct_base = cap + 2 * hal
+    base_rows = cap + 2 * hal  # own + x ghosts (the y-strip source pool)
+    n_rows = base_rows + 2 * hal_y + s_pad
+    struct_base = base_rows + 2 * hal_y
 
     if use_c8:
         def _win_shapes():
@@ -445,7 +564,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         def zero_cache():
             """Global-shape zero cache; ref_own=inf forces a first rebuild."""
             i32 = jnp.int32
-            return dict(
+            c = dict(
                 orig=jnp.zeros((ndev * n_rows,), i32),
                 key=jnp.zeros((ndev * n_rows,), i32),
                 prop_s=jnp.zeros((ndev * n_rows,), i32),
@@ -462,6 +581,14 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 ref_s=jnp.full((ndev * max(s_pad, 1), 3), jnp.inf,
                                sim.dtype),
             )
+            if two_axis:
+                c.update(
+                    idx_yl=jnp.zeros((ndev * hal_y,), i32),
+                    idx_yr=jnp.zeros((ndev * hal_y,), i32),
+                    mask_yl=jnp.zeros((ndev * hal_y,), jnp.bool_),
+                    mask_yr=jnp.zeros((ndev * hal_y,), jnp.bool_),
+                )
+            return c
     else:
         zero_cache = None
 
@@ -473,8 +600,9 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         return jax.lax.cond(pred, true_fn, false_fn, None)
 
     def step_local(prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center,
-                   splits, time, cache):
-        rank = jax.lax.axis_index("dp")
+                   splits, splits_y, time, cache):
+        rank_x = jax.lax.axis_index(ax_x)
+        rank_y = jax.lax.axis_index(ax_y) if two_axis else None
         dtype = pos.dtype
 
         # --- elementwise pre-steps ---------------------------------------
@@ -492,8 +620,11 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             s_pos = wl.periodic_wrap(s_pos, sim.domain_min, sim.domain_width)
         valid = prop >= 0
         propf = prop.astype(dtype)
-        slab_lo = splits[rank]
-        slab_hi = splits[rank + 1]
+        slab_lo = splits[rank_x]
+        slab_hi = splits[rank_x + 1]
+        if two_axis:
+            slab_ylo = splits_y[rank_y]
+            slab_yhi = splits_y[rank_y + 1]
 
         # --- C8 predicate: GLOBAL max displacement since last rebuild -----
         if cache is None:
@@ -505,23 +636,30 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 ds2 = jnp.sum((s_pos - cache["ref_s"]) ** 2, axis=1)
                 disp2 = jnp.maximum(
                     disp2, jnp.max(jnp.where(solid.s_valid, ds2, 0.0)))
-            rebuild = jax.lax.pmax(disp2, "dp") > thresh2
+            rebuild = jax.lax.pmax(disp2, axes) > thresh2
 
         # --- migration payloads (pure local work inside the cond; the
         # ppermutes below run unconditionally so no collective sits inside
         # a branch) --------------------------------------------------------
-        def mig_payloads(_):
-            # destination-based routing (not raw </>= slab tests): a
+        def mig_dummy(_):
+            zf = jnp.full((mig,), -1.0, dtype)
+            z3 = jnp.zeros((mig, 3), dtype)
+            zi = jnp.zeros((mig,), jnp.int32)
+            return (zf, z3, z3, z3, zi, zf, z3, z3, z3, zi,
+                    jnp.zeros_like(valid), jnp.asarray(0, jnp.int32))
+
+        def mig_payloads_x(_):
+            # destination-based routing (not raw </>= region tests): a
             # particle that PERIODICALLY WRAPPED from xmax to x0 sits below
-            # slab_lo of the last shard but belongs to shard 0 -- one hop
-            # along the ring in the +1 direction.  Raw comparisons would
-            # walk it the long way around, one slab per step, with wrong
+            # slab_lo of the last shard but belongs to shard column 0 -- one
+            # hop along the ring in the +1 direction.  Raw comparisons would
+            # walk it the long way around, one region per step, with wrong
             # neighborhoods throughout.
             dest = jnp.clip(
                 jnp.searchsorted(splits, pos[:, 0], side="right") - 1,
-                0, ndev - 1)
-            dist = jnp.where(valid, (dest - rank) % ndev, 0)
-            go_right = (dist > 0) & (dist <= ndev // 2)
+                0, nx - 1)
+            dist = jnp.where(valid, (dest - rank_x) % nx, 0)
+            go_right = (dist > 0) & (dist <= nx // 2)
             go_left = (dist > 0) & ~go_right
             # oid stays int32 end-to-end (lax.sort and ppermute both take
             # mixed dtypes): riding as f32 would round slot ids above 2^24
@@ -535,41 +673,101 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             return (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro,
                     go_left | go_right, (lover + rover).astype(jnp.int32))
 
-        def mig_dummy(_):
-            zf = jnp.full((mig,), -1.0, dtype)
-            z3 = jnp.zeros((mig, 3), dtype)
-            zi = jnp.zeros((mig,), jnp.int32)
-            return (zf, z3, z3, z3, zi, zf, z3, z3, z3, zi,
-                    jnp.zeros_like(valid), jnp.asarray(0, jnp.int32))
-
         (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro, go, mover) = _cond(
-            rebuild, mig_payloads, mig_dummy)
+            rebuild, mig_payloads_x, mig_dummy)
 
-        recv_right = [jax.lax.ppermute(x, "dp", perm(-1))
+        recv_right = [jax.lax.ppermute(x, ax_x, perm(-1, nx))
                       for x in (lf, lp, lv, lp0, lo)]
-        recv_left = [jax.lax.ppermute(x, "dp", perm(+1))
+        recv_left = [jax.lax.ppermute(x, ax_x, perm(+1, nx))
                      for x in (rf, rp, rv, rp0, ro)]
 
-        # --- consolidation + fresh strip selection / cached passthrough ---
-        def consolidate(_):
-            keep = valid & ~go
-            all_prop = jnp.concatenate([jnp.where(keep, propf, -1.0),
-                                        recv_right[0], recv_left[0]])
-            all_pos = jnp.concatenate([pos, recv_right[1], recv_left[1]])
-            all_vel = jnp.concatenate([vel, recv_right[2], recv_left[2]])
-            all_pos0 = jnp.concatenate([pos0, recv_right[3], recv_left[3]])
-            all_oid = jnp.concatenate([oid, recv_right[4], recv_left[4]])
+        def _consolidate(keep_propf, keep_pos, keep_vel, keep_pos0, keep_oid,
+                         recv_a, recv_b):
+            all_prop = jnp.concatenate([keep_propf, recv_a[0], recv_b[0]])
+            all_pos = jnp.concatenate([keep_pos, recv_a[1], recv_b[1]])
+            all_vel = jnp.concatenate([keep_vel, recv_a[2], recv_b[2]])
+            all_pos0 = jnp.concatenate([keep_pos0, recv_a[3], recv_b[3]])
+            all_oid = jnp.concatenate([keep_oid, recv_a[4], recv_b[4]])
             (propf2, pos2, vel2, pos02, oid2), cmask, cover, _ = _extract(
                 cap, all_prop >= 0, all_prop, all_pos, all_vel, all_pos0,
                 all_oid)
             prop2 = jnp.where(cmask, propf2, -1.0).astype(jnp.int32)
             oid2 = jnp.where(cmask, oid2, -1)
+            return prop2, pos2, pos02, vel2, oid2, cover
+
+        if two_axis:
+            # --- round 2: consolidate x migrants, then extract y migrants -
+            def consolidate_x_and_mig_y(_):
+                prop2, pos2, pos02, vel2, oid2, cover = _consolidate(
+                    jnp.where(valid & ~go, propf, -1.0), pos, vel, pos0, oid,
+                    recv_right, recv_left)
+                valid2 = prop2 >= 0
+                propf2 = prop2.astype(dtype)
+                dest = jnp.clip(
+                    jnp.searchsorted(splits_y, pos2[:, 1], side="right") - 1,
+                    0, ny - 1)
+                dist = jnp.where(valid2, (dest - rank_y) % ny, 0)
+                go_up = (dist > 0) & (dist <= ny // 2)
+                go_down = (dist > 0) & ~go_up
+                (df, dp, dv, dp0, do), dmask, dover, _ = _extract(
+                    mig, go_down, propf2, pos2, vel2, pos02, oid2)
+                (uf, up, uv, up0, uo), umask, uover, _ = _extract(
+                    mig, go_up, propf2, pos2, vel2, pos02, oid2)
+                df = jnp.where(dmask, df, -1.0)
+                uf = jnp.where(umask, uf, -1.0)
+                return (prop2, pos2, pos02, vel2, oid2,
+                        df, dp, dv, dp0, do, uf, up, uv, up0, uo,
+                        go_down | go_up,
+                        (cover + dover + uover).astype(jnp.int32))
+
+            def pass_x(_):
+                zf = jnp.full((mig,), -1.0, dtype)
+                z3 = jnp.zeros((mig, 3), dtype)
+                zi = jnp.zeros((mig,), jnp.int32)
+                return (prop, pos, pos0, vel, oid,
+                        zf, z3, z3, z3, zi, zf, z3, z3, z3, zi,
+                        jnp.zeros((cap,), jnp.bool_),
+                        jnp.asarray(0, jnp.int32))
+
+            (prop, pos, pos0, vel, oid, df, dp, dv, dp0, do,
+             uf, up, uv, up0, uo, go_y, mover_y) = _cond(
+                rebuild, consolidate_x_and_mig_y, pass_x)
+            mover = mover + mover_y
+            valid = prop >= 0
+            propf = prop.astype(dtype)
+
+            recv_up = [jax.lax.ppermute(x, ax_y, perm(-1, ny))
+                       for x in (df, dp, dv, dp0, do)]
+            recv_down = [jax.lax.ppermute(x, ax_y, perm(+1, ny))
+                         for x in (uf, up, uv, up0, uo)]
+
+        # --- final consolidation + fresh x-strip selection / passthrough --
+        def consolidate(_):
+            if two_axis:
+                prop2, pos2, pos02, vel2, oid2, cover = _consolidate(
+                    jnp.where(valid & ~go_y, propf, -1.0), pos, vel, pos0,
+                    oid, recv_up, recv_down)
+            else:
+                prop2, pos2, pos02, vel2, oid2, cover = _consolidate(
+                    jnp.where(valid & ~go, propf, -1.0), pos, vel, pos0,
+                    oid, recv_right, recv_left)
             valid2 = prop2 >= 0
             # halo strips one strip_support inside each edge (support + the
             # C8 margin, so the cached ghost set still covers every true
             # pair until the rebuild predicate trips)
             strip_l = valid2 & (pos2[:, 0] < slab_lo + strip_support)
             strip_r = valid2 & (pos2[:, 0] >= slab_hi - strip_support)
+            # packed-engine dedupe: on a ring of 2 both directions deliver
+            # to the SAME neighbor, and min-image makes the two unshifted
+            # copies identical -> double-counted pairs.  One copy covers
+            # both relations under min-image.  (The pallas path keeps both:
+            # its copies are shifted into DISTINCT periodic images.)  A
+            # ring of 1 needs no ghosts at all under min-image.
+            if not use_pallas and nx == 2:
+                strip_r = strip_r & ~strip_l
+            if not use_pallas and nx == 1:
+                strip_l = jnp.zeros_like(strip_l)
+                strip_r = jnp.zeros_like(strip_r)
             _, lmask2, sover1, idx_l = _extract(hal, strip_l)
             _, rmask2, sover2, idx_r = _extract(hal, strip_r)
             return (prop2, pos2, pos02, vel2, oid2, idx_l, idx_r,
@@ -585,29 +783,76 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         valid = prop >= 0
         propf = prop.astype(dtype)
 
-        # --- strip pos/vel/prop exchange (every step: ghost neighbors'
+        # --- x strip pos/vel/prop exchange (every step: ghost neighbors'
         # positions move even while the frame is reused) --------------------
         slf = jnp.where(mask_l, propf[idx_l], -1.0)
         srf = jnp.where(mask_r, propf[idx_r], -1.0)
-        ghosts_r = [jax.lax.ppermute(x, "dp", perm(-1))
+        ghosts_r = [jax.lax.ppermute(x, ax_x, perm(-1, nx))
                     for x in (slf, pos[idx_l], vel[idx_l])]
-        ghosts_l = [jax.lax.ppermute(x, "dp", perm(+1))
+        ghosts_l = [jax.lax.ppermute(x, ax_x, perm(+1, nx))
                     for x in (srf, pos[idx_r], vel[idx_r])]
 
-        # local frame inputs: own rows + ghosts + replicated structure rows
         gl_pos, gr_pos = ghosts_l[1], ghosts_r[1]
         if use_pallas:
             # shift strips that crossed the global ring boundary into the
             # x ghost layer (the window sweep pairs by coordinate adjacency;
             # the packed engine min-images instead, so no shift there).
-            # ndev=1 degenerates to exactly single-chip x ghost duplication.
+            # nx=1 degenerates to exactly single-chip x ghost duplication.
             wx = jnp.asarray(sim.domain_width[0], dtype)
-            gl_pos = gl_pos.at[:, 0].add(jnp.where(rank == 0, -wx, 0.0))
+            gl_pos = gl_pos.at[:, 0].add(jnp.where(rank_x == 0, -wx, 0.0))
             gr_pos = gr_pos.at[:, 0].add(
-                jnp.where(rank == ndev - 1, wx, 0.0))
+                jnp.where(rank_x == nx - 1, wx, 0.0))
+
+        if two_axis:
+            # --- y strips: selected from own + x-ghost rows (corners ride
+            # the forwarded x-ghosts; positions already x-shifted) ---------
+            base_prop = jnp.concatenate([propf, ghosts_l[0], ghosts_r[0]])
+            base_pos = jnp.concatenate([pos, gl_pos, gr_pos])
+            base_vel = jnp.concatenate([vel, ghosts_l[2], ghosts_r[2]])
+
+            def select_y(_):
+                bvalid = base_prop >= 0
+                strip_d = bvalid & (base_pos[:, 1] < slab_ylo + strip_support)
+                strip_u = bvalid & (base_pos[:, 1] >= slab_yhi - strip_support)
+                # ring-of-2 dedupe under min-image (see the x strips above;
+                # ny == 1 never reaches this branch)
+                if not use_pallas and ny == 2:
+                    strip_u = strip_u & ~strip_d
+                _, dmask2, yover1, idx_yl = _extract(hal_y, strip_d)
+                _, umask2, yover2, idx_yr = _extract(hal_y, strip_u)
+                return (idx_yl, idx_yr, dmask2, umask2,
+                        (yover1 + yover2).astype(jnp.int32))
+
+            def pass_y(_):
+                return (cache["idx_yl"], cache["idx_yr"], cache["mask_yl"],
+                        cache["mask_yr"], jnp.asarray(0, jnp.int32))
+
+            idx_yl, idx_yr, mask_yl, mask_yr, sover_y = _cond(
+                rebuild, select_y, pass_y)
+            sover = sover + sover_y
+
+            sdf = jnp.where(mask_yl, base_prop[idx_yl], -1.0)
+            suf = jnp.where(mask_yr, base_prop[idx_yr], -1.0)
+            ghosts_u = [jax.lax.ppermute(x, ax_y, perm(-1, ny))
+                        for x in (sdf, base_pos[idx_yl], base_vel[idx_yl])]
+            ghosts_d = [jax.lax.ppermute(x, ax_y, perm(+1, ny))
+                        for x in (suf, base_pos[idx_yr], base_vel[idx_yr])]
+            gd_pos, gu_pos = ghosts_d[1], ghosts_u[1]
+            if use_pallas:
+                wy = jnp.asarray(sim.domain_width[1], dtype)
+                gd_pos = gd_pos.at[:, 1].add(
+                    jnp.where(rank_y == 0, -wy, 0.0))
+                gu_pos = gu_pos.at[:, 1].add(
+                    jnp.where(rank_y == ny - 1, wy, 0.0))
+
+        # local frame inputs: own rows + ghosts + replicated structure rows
         parts_prop = [propf, ghosts_l[0], ghosts_r[0]]
         parts_pos = [pos, gl_pos, gr_pos]
         parts_vel = [vel, ghosts_l[2], ghosts_r[2]]
+        if two_axis:
+            parts_prop += [ghosts_d[0], ghosts_u[0]]
+            parts_pos += [gd_pos, gu_pos]
+            parts_vel += [ghosts_d[2], ghosts_u[2]]
         if sim.has_structure:
             parts_prop.append(jnp.asarray(s_prop_host, dtype))
             parts_pos.append(s_pos)
@@ -674,13 +919,14 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         # slots via inv[idx]; order matches the pos/vel strips exactly).
         # Rows beyond the strip mask gather junk, but the matching ghost
         # rows carry prop=-1 from the pos/vel exchange, so pair math masks
-        # them.
+        # them.  Two stages on a 2-axis mesh: x ghosts patched from their
+        # owners FIRST, so the y stage forwards authoritative corner fields.
         sl_slots = inv[idx_l]
         sr_slots = inv[idx_r]
         el = [a[sl_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
         er = [a[sr_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
-        gl = [jax.lax.ppermute(x, "dp", perm(+1)) for x in er]
-        gr_ = [jax.lax.ppermute(x, "dp", perm(-1)) for x in el]
+        gl = [jax.lax.ppermute(x, ax_x, perm(+1, nx)) for x in er]
+        gr_ = [jax.lax.ppermute(x, ax_x, perm(-1, nx)) for x in el]
         ghost_slots = inv[cap:cap + 2 * hal]
 
         def patch(a, lo_v, hi_v, slots):
@@ -691,13 +937,28 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         gc_s = patch(gc_s, gl[2], gr_[2], ghost_slots)
         mu_s = patch(mu_s, gl[3], gr_[3], ghost_slots)
 
+        if two_axis:
+            syl_slots = inv[idx_yl]
+            syr_slots = inv[idx_yr]
+            eyl = [a[syl_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
+            eyr = [a[syr_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
+            gyl = [jax.lax.ppermute(x, ax_y, perm(+1, ny)) for x in eyr]
+            gyr = [jax.lax.ppermute(x, ax_y, perm(-1, ny)) for x in eyl]
+            ghost_slots_y = inv[base_rows:base_rows + 2 * hal_y]
+            pp_s = patch(pp_s, gyl[0], gyr[0], ghost_slots_y)
+            pa_s = patch(pa_s, gyl[1], gyr[1], ghost_slots_y)
+            gc_s = patch(gc_s, gyl[2], gyr[2], ghost_slots_y)
+            mu_s = patch(mu_s, gyl[3], gyr[3], ghost_slots_y)
+
         if sim.has_structure:
             # structure fields: owner shard's values, shared by psum
             s_own = solid.s_valid & (s_pos[:, 0] >= slab_lo) & (s_pos[:, 0] < slab_hi)
+            if two_axis:
+                s_own = s_own & (s_pos[:, 1] >= slab_ylo) & (s_pos[:, 1] < slab_yhi)
 
             def owner_sum(a):
                 m = s_own if a.ndim == 1 else s_own[:, None]
-                return jax.lax.psum(jnp.where(m, a, 0.0), "dp")
+                return jax.lax.psum(jnp.where(m, a, 0.0), axes)
 
             struct_slots = inv[struct_base:struct_base + s_pad]
             s_mu_f = jnp.where(solid.s_valid,
@@ -757,20 +1018,23 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
 
         overflow = (mover + sover).astype(jnp.int32)
         out = (prop, pos, pos0, vel, oid, s_pos, s_vel, wall_center, splits,
-               time + dt, overflow.reshape(1))
+               splits_y, time + dt, overflow.reshape(1))
         if cache is None:
             return out
         new_cache = dict(orig=orig, key=key, prop_s=prop_s, inv=inv,
                          ws=ws, wl=wl_, idx_l=idx_l, idx_r=idx_r,
                          mask_l=mask_l, mask_r=mask_r,
                          ref_own=ref_own, ref_s=ref_s)
+        if two_axis:
+            new_cache.update(idx_yl=idx_yl, idx_yr=idx_yr,
+                             mask_yl=mask_yl, mask_yr=mask_yr)
         return out + (new_cache,)
 
-    pspec, rspec = P("dp"), P()
+    pspec, rspec = _pspec(mesh), P()
     state_in_specs = (pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
-                      rspec, rspec)
+                      rspec, rspec, rspec)
     state_out_specs = (pspec, pspec, pspec, pspec, pspec, rspec, rspec, rspec,
-                       rspec, rspec, pspec)
+                       rspec, rspec, rspec, pspec)
     if use_c8:
         step_mapped = jax.shard_map(
             step_local, mesh=mesh,
@@ -789,16 +1053,17 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
     def _step_tuple(state: HaloState, cache=None):
         args = (state.prop, state.pos, state.pos0, state.vel, state.oid,
                 state.s_pos, state.s_vel, state.wall_center, state.splits,
-                state.time)
+                state.splits_y, state.time)
         if use_c8:
-            (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, time,
-             overflow, cache) = step_mapped(*args, cache)
+            (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, splits_y,
+             time, overflow, cache) = step_mapped(*args, cache)
         else:
-            (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, time,
-             overflow) = step_mapped(*args)
+            (prop, pos, pos0, vel, oid, s_pos, s_vel, wc, splits, splits_y,
+             time, overflow) = step_mapped(*args)
         new_state = HaloState(prop=prop, pos=pos, pos0=pos0, vel=vel,
                               oid=oid, s_pos=s_pos, s_vel=s_vel,
-                              wall_center=wc, splits=splits, time=time)
+                              wall_center=wc, splits=splits,
+                              splits_y=splits_y, time=time)
         return new_state, jnp.max(overflow), cache
 
     @jax.jit

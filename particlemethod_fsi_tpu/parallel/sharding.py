@@ -47,6 +47,19 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=("dp",))
 
 
+def make_mesh_grid(nx: int, ny: int) -> Mesh:
+    """2-axis mesh for the x*y rectangle halo decomposition
+    (``parallel/halo.py``): shard (ix, iy) owns one domain rectangle and
+    exchanges halos over per-axis ``ppermute`` rings (the torus layout ICI
+    provides natively)."""
+    devs = jax.devices()
+    if nx * ny > len(devs):
+        raise ValueError(f"mesh {nx}x{ny} needs {nx * ny} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[: nx * ny]).reshape(nx, ny),
+                axis_names=("dpx", "dpy"))
+
+
 def shard_state(state: ParticleState, mesh: Mesh) -> ParticleState:
     """Place particle arrays sharded along N; scalars/wall state replicated."""
     pspec = NamedSharding(mesh, P("dp"))

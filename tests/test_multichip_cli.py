@@ -50,6 +50,15 @@ def test_cli_mesh_halo_matches_single_chip(tmp_path, single_chip):
 
 
 @pytest.mark.slow
+def test_cli_mesh_shape_halo2d_matches_single_chip(tmp_path, single_chip):
+    """2-axis rectangle decomposition through the production CLI
+    (--mesh-shape 4x2): slot-order output must match single-chip."""
+    rows = run_cli(tmp_path, "halo2d", ["--mesh-shape", "4x2"])
+    np.testing.assert_allclose(rows[:, 1:4], single_chip[:, 1:4],
+                               rtol=0, atol=1e-9)
+
+
+@pytest.mark.slow
 def test_cli_mesh_halo_no_rebalance(tmp_path, single_chip):
     rows = run_cli(tmp_path, "halo_eq",
                    ["--mesh", "8", "--mode", "halo", "--no-rebalance"])

@@ -73,7 +73,7 @@ def main():
     print(f"frame rows: cap={cap} hal={hal} s_pad={s_pad} total={n_rows} "
           f"(single-chip n_pad={sim.n_pad})", flush=True)
 
-    grid = ha._x_extended_grid(sim.cell_grid)
+    grid = ha._extended_grid(sim.cell_grid, False)
     pcfg = sim._pcfg
     rng = np.random.default_rng(0)
     nv = int((np.asarray(sim.state0.prop) >= 0).sum())
