@@ -528,6 +528,7 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
     vtk_next = 0.0
     eps = 1.0e-5 * dt
     t_start = _time.time()
+    regrow_budget = 4  # bounded halo-saturation self-heals per run
 
     def snapshot(slot_state) -> GridData:
         h = to_numpy(slot_state, grid.n)
@@ -586,8 +587,42 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
                        "t=%e; the boundary watchdog will abort with a "
                        "snapshot\n", done, time)
         if overflow:
-            log.printf("WARNING: halo buffer overflow count %d at t=%e "
-                       "(raise HaloConfig caps)\n", overflow, time)
+            if args.mode == "halo" and regrow_budget > 0:
+                # self-heal: double the saturated buffers, refresh capacity
+                # from current occupancy, rebuild the step (one recompile)
+                # and repartition under fresh equal-count planes.  The
+                # saturated interval itself ran with deferred migrants /
+                # truncated strips (counted, physics error bounded to this
+                # interval); subsequent intervals run clean.
+                regrow_budget -= 1
+                old = hcfg
+                hcfg, splits, splits_y = ha.regrow_config(
+                    sim, mesh, hcfg, mstate)
+                log.printf(
+                    "WARNING: halo buffer saturation %d at t=%e; regrowing "
+                    "caps (mig %d->%d halo %d->%d haloY %d->%d cap %d->%d) "
+                    "and repartitioning (%d regrows left)\n",
+                    overflow, time, old.migration_cap, hcfg.migration_cap,
+                    old.halo_cap, hcfg.halo_cap, old.halo_cap_y,
+                    hcfg.halo_cap_y, old.capacity, hcfg.capacity,
+                    regrow_budget)
+                gathered = dict(
+                    prop=np.asarray(mstate.prop),
+                    pos=np.asarray(mstate.pos),
+                    vel=np.asarray(mstate.vel),
+                    pos0=np.asarray(mstate.pos0),
+                    oid=np.asarray(mstate.oid),
+                    s_pos=np.asarray(mstate.s_pos),
+                    s_vel=np.asarray(mstate.s_vel),
+                    wall_center=np.asarray(mstate.wall_center),
+                    time=float(mstate.time))
+                _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
+                mstate = ha.partition_state(
+                    sim, mesh, hcfg, splits=splits, splits_y=splits_y,
+                    state=gathered)
+            else:
+                log.printf("WARNING: halo buffer overflow count %d at t=%e "
+                           "(raise HaloConfig caps)\n", overflow, time)
         log.metric(step=i_step, time=time, chunk=n_steps,
                    chunk_seconds=_time.time() - t0, halo_overflow=overflow)
 

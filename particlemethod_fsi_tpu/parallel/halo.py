@@ -376,6 +376,41 @@ def rebalance(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState) -> HaloState:
                            state=gathered)
 
 
+def regrow_config(sim, mesh: Mesh, hcfg: HaloConfig,
+                  state: HaloState) -> tuple[HaloConfig, np.ndarray,
+                                             np.ndarray]:
+    """Grown buffer sizes after a saturation event: double the migration and
+    halo caps, and refresh capacity from the CURRENT occupancy under fresh
+    equal-count split planes (a saturated consolidation means the static
+    margin no longer covers the drift).  The aggregate overflow counter does
+    not say WHICH buffer saturated, so all three grow -- overgrowth costs
+    frame rows only until the next `make_halo_step`, and saturation is a
+    rare event by construction (occupancy-sized caps + rebalance cadence).
+
+    Returns ``(hcfg, splits, splits_y)`` for a ``make_halo_step`` +
+    ``partition_state`` rebuild from ``gather_state``-style host arrays."""
+    import types
+
+    nx, ny = mesh_shape(mesh)
+    prop = np.asarray(state.prop)
+    pos = np.asarray(state.pos)
+    valid = prop >= 0
+    splits = compute_splits(sim, nx, pos, valid, axis=0)
+    splits_y = compute_splits(sim, ny, pos, valid, axis=1) if ny > 1 \
+        else uniform_splits(sim, 1, 1)
+    ns = types.SimpleNamespace(prop=prop, pos=pos)
+    fresh = default_halo_config(
+        sim, (nx, ny) if ny > 1 else nx, splits=splits, splits_y=splits_y,
+        state=ns)
+    grown = HaloConfig(
+        capacity=max(fresh.capacity, hcfg.capacity),
+        migration_cap=max(fresh.migration_cap, 2 * hcfg.migration_cap),
+        halo_cap=max(fresh.halo_cap, 2 * hcfg.halo_cap),
+        halo_cap_y=max(fresh.halo_cap_y, 2 * hcfg.halo_cap_y),
+    )
+    return grown, splits, splits_y
+
+
 def gather_state(sim, state: HaloState) -> dict:
     """Collect a halo-sharded state back to host arrays (fluid/wall rows in
     arbitrary order + structure rows in subset order).  ``oid`` gives each
@@ -664,14 +699,23 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             # oid stays int32 end-to-end (lax.sort and ppermute both take
             # mixed dtypes): riding as f32 would round slot ids above 2^24
             # (~16.7M particles) and silently corrupt to_slot_state
-            (lf, lp, lv, lp0, lo), lmask, lover, _ = _extract(
+            (lf, lp, lv, lp0, lo), lmask, lover, ltake = _extract(
                 mig, go_left, propf, pos, vel, pos0, oid)
-            (rf, rp, rv, rp0, ro), rmask, rover, _ = _extract(
+            (rf, rp, rv, rp0, ro), rmask, rover, rtake = _extract(
                 mig, go_right, propf, pos, vel, pos0, oid)
             lf = jnp.where(lmask, lf, -1.0)
             rf = jnp.where(rmask, rf, -1.0)
+            # only rows that actually rode the ring leave this shard:
+            # overflow migrants STAY (deferred migration).  A CFL-bounded
+            # crosser sits within one strip reach of the boundary, so its
+            # pair sums stay exact against the halo ghosts for the deferred
+            # step; it re-routes on the next rebuild (the CLI regrows the
+            # cap on saturation).  The old `go_left | go_right` keep-mask
+            # dropped overflow migrants outright -- particle loss.
+            sent = (jnp.zeros_like(go_left).at[ltake].set(lmask)
+                    | jnp.zeros_like(go_right).at[rtake].set(rmask))
             return (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro,
-                    go_left | go_right, (lover + rover).astype(jnp.int32))
+                    sent, (lover + rover).astype(jnp.int32))
 
         (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro, go, mover) = _cond(
             rebuild, mig_payloads_x, mig_dummy)
@@ -709,15 +753,18 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 dist = jnp.where(valid2, (dest - rank_y) % ny, 0)
                 go_up = (dist > 0) & (dist <= ny // 2)
                 go_down = (dist > 0) & ~go_up
-                (df, dp, dv, dp0, do), dmask, dover, _ = _extract(
+                (df, dp, dv, dp0, do), dmask, dover, dtake = _extract(
                     mig, go_down, propf2, pos2, vel2, pos02, oid2)
-                (uf, up, uv, up0, uo), umask, uover, _ = _extract(
+                (uf, up, uv, up0, uo), umask, uover, utake = _extract(
                     mig, go_up, propf2, pos2, vel2, pos02, oid2)
                 df = jnp.where(dmask, df, -1.0)
                 uf = jnp.where(umask, uf, -1.0)
+                # deferred migration on overflow, as in the x stage above
+                sent_y = (jnp.zeros_like(go_down).at[dtake].set(dmask)
+                          | jnp.zeros_like(go_up).at[utake].set(umask))
                 return (prop2, pos2, pos02, vel2, oid2,
                         df, dp, dv, dp0, do, uf, up, uv, up0, uo,
-                        go_down | go_up,
+                        sent_y,
                         (cover + dover + uover).astype(jnp.int32))
 
             def pass_x(_):

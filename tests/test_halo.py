@@ -140,7 +140,9 @@ def test_halo_long_run_migration_and_structure_crossing(margin):
 @pytest.mark.slow
 def test_halo_overflow_is_reported_not_silent():
     """Saturating the migration buffers must surface a nonzero overflow
-    count (the reference silently drops overflow; we must not)."""
+    count (the reference silently drops overflow; we must not) -- and
+    overflow migrants must be DEFERRED, never lost: they stay on their old
+    shard until a ring slot frees up (or the CLI regrows the cap)."""
     grid = mini_dam()
     cfg = dam_like_config()
     sim = Simulation(cfg, grid)
@@ -155,6 +157,44 @@ def test_halo_overflow_is_reported_not_silent():
         state, overflow = step(state)
         saw_overflow = max(saw_overflow, int(overflow))
     assert saw_overflow > 0
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n  # deferred, not dropped
+    assert np.array_equal(np.sort(out["oid"]), np.arange(grid.n))
+
+
+def test_halo_regrow_after_saturation():
+    """regrow_config after a saturation event: doubled caps + occupancy-
+    refreshed capacity let the SAME collapse continue overflow-free from the
+    saturated state (the CLI self-heal path)."""
+    grid = mini_dam()
+    cfg = dam_like_config()
+    sim = Simulation(cfg, grid)
+    mesh = make_mesh(2)
+    hcfg = halo.default_halo_config(sim, 2)._replace(migration_cap=1)
+    step, _run, _ = halo.make_halo_step(sim, mesh, hcfg)
+    state = halo.partition_state(sim, mesh, hcfg)
+    saw_overflow = 0
+    for _ in range(30):
+        state, overflow = step(state)
+        saw_overflow = max(saw_overflow, int(overflow))
+    assert saw_overflow > 0
+
+    grown, splits, splits_y = halo.regrow_config(sim, mesh, hcfg, state)
+    assert grown.migration_cap >= 2 * hcfg.migration_cap
+    gathered = dict(
+        prop=np.asarray(state.prop), pos=np.asarray(state.pos),
+        vel=np.asarray(state.vel), pos0=np.asarray(state.pos0),
+        oid=np.asarray(state.oid), s_pos=np.asarray(state.s_pos),
+        s_vel=np.asarray(state.s_vel),
+        wall_center=np.asarray(state.wall_center), time=float(state.time))
+    step2, _run2, grown = halo.make_halo_step(sim, mesh, grown)
+    state = halo.partition_state(sim, mesh, grown, splits=splits,
+                                 splits_y=splits_y, state=gathered)
+    for _ in range(20):
+        state, overflow = step2(state)
+        assert int(overflow) == 0
+    out = halo.gather_state(sim, state)
+    assert out["prop"].shape[0] == grid.n
 
 
 @pytest.mark.slow

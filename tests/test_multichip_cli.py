@@ -66,6 +66,41 @@ def test_cli_mesh_halo_no_rebalance(tmp_path, single_chip):
                                rtol=0, atol=1e-9)
 
 
+@pytest.mark.slow
+def test_cli_halo_regrow_on_saturation(tmp_path, monkeypatch):
+    """Halo saturation self-heal: with a sabotaged 1-slot migration cap the
+    collapsing dam overflows the ring buffers; the CLI must regrow the caps
+    mid-run (one recompile + repartition), finish cleanly, and keep every
+    particle (deferred migration, never dropped)."""
+    from particlemethod_fsi_tpu.parallel import halo as ha
+
+    orig = ha.default_halo_config
+
+    def tiny_mig(*a, **kw):
+        return orig(*a, **kw)._replace(migration_cap=1)
+
+    monkeypatch.setattr(ha, "default_halo_config", tiny_mig)
+
+    d = tmp_path / "regrow"
+    d.mkdir()
+    data = (d / "dam.data")
+    data.write_text(open(DAM_DATA).read().replace(
+        "OutputInterval\t0.01", "OutputInterval\t0.001"))
+    rc = cli.main([
+        str(data), DAM_GRID, str(d / "o%03d.prof"), str(d / "o%03d.vtk"),
+        str(d / "run.log"), "1", "--scene", "dam", "--dtype", "float64",
+        "--backend", "packed", "--end-time", "0.006",
+        "--mesh", "8", "--mode", "halo",
+    ])
+    log = (d / "run.log").read_text()
+    assert rc == 0, log[-2000:]
+    assert "regrowing" in log, log[-2000:]
+    rows = np.loadtxt(d / "o060.prof", skiprows=2)
+    n_ref = np.loadtxt(DAM_GRID, skiprows=2).shape[0]
+    assert rows.shape[0] == n_ref  # every particle accounted for
+    assert np.isfinite(rows[:, 1:4]).all()
+
+
 def test_cli_mesh_too_many_devices(tmp_path):
     d = tmp_path / "over"
     d.mkdir()
