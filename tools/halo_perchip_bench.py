@@ -7,7 +7,7 @@ single-chip bench exactly.  The delta vs the plain single-chip step is
 the halo overhead at matched local N; the verdict's acceptance bar is
 within ~1.3x.
 
-Usage: python tools/halo_perchip_bench.py [n_side] [ndev]
+Usage: python tools/halo_perchip_bench.py [n_side] [ndev] [occupancy_margin]
 """
 
 import os
@@ -24,6 +24,7 @@ import bench
 def main():
     n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     ndev = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    margin = float(sys.argv[3]) if len(sys.argv) > 3 else None
     bench._enable_compile_cache()
 
     from particlemethod_fsi_tpu.parallel import halo as ha
@@ -37,7 +38,9 @@ def main():
                          "mesh for multi-shard runs)")
     splits = ha.compute_splits(
         sim, ndev, sim.state0.pos, np.asarray(sim.state0.prop) >= 0)
-    hcfg = ha.default_halo_config(sim, ndev, splits=splits, state=sim.state0)
+    kw = {} if margin is None else dict(occupancy_margin=margin)
+    hcfg = ha.default_halo_config(sim, ndev, splits=splits, state=sim.state0,
+                                  **kw)
     mstate = ha.partition_state(sim, mesh, hcfg, splits=splits,
                                 state=sim.state0)
     _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
