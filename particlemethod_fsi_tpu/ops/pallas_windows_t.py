@@ -106,7 +106,7 @@ def _ring_and_geom(rec: _Rec, win, *, off, planar: bool, key_row: int):
     (merged sweep: all offsets' windows side by side in one pass)."""
     off_b = float(off) if isinstance(off, (int, float)) else off
     dk = win[key_row:key_row + 1, :] - (rec.key + off_b)
-    m = (dk >= -1.0) & (dk <= 1.0)
+    m = jnp.abs(dk) <= 1.0  # one compare instead of two + and
     dxx = win[0:1, :] - rec.x
     dyy = win[1:2, :] - rec.y
     if planar:
