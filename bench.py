@@ -118,6 +118,9 @@ def _measure(n_side: int, backend: str):
 
 def _child(backend: str, n_side: int) -> int:
     """Subprocess entry: one attempt, JSON on stdout, tracebacks on stderr."""
+    from particlemethod_fsi_tpu.utils.platform import ensure_backend
+
+    ensure_backend()  # pinned-but-stale JAX_PLATFORMS name -> auto-select
     _enable_compile_cache()
     n, step_s = _measure(n_side, backend)
     value = n / step_s
@@ -182,7 +185,10 @@ def main():
                 break
             tail = "\n".join(proc.stderr.splitlines()[-25:])
             transient = ("UNAVAILABLE" in tail or "DEADLINE_EXCEEDED" in tail
-                         or "tunnel" in tail.lower())
+                         or "tunnel" in tail.lower()
+                         # tunnel restart re-registers the platform name
+                         # mid-flap; a retry lands after it settles
+                         or "list of known backends" in tail)
             reason = (tail.splitlines()[-1][:200] if tail.splitlines()
                       else f"rc={proc.returncode}")
             fallbacks.append(f"{backend}@{n_side}: {reason}")

@@ -121,8 +121,13 @@ def run(args) -> int:
     if args.platform:
         import jax
 
-        platform = {"tpu": "axon"}.get(args.platform, args.platform)
+        # the tunneled TPU plugin registers as 'axon' OR 'tpu' depending on
+        # tunnel state; '' = auto-select resolves either (utils/platform.py)
+        platform = "" if args.platform in ("tpu", "axon") else args.platform
         jax.config.update("jax_platforms", platform)
+    from particlemethod_fsi_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
     log = RunLog(args.log, args.metrics)
     log.printf("start reading files at %s\n", _time.ctime())
     grid_path = args.restart_grid or args.grid
