@@ -201,3 +201,27 @@ def test_transient_retries_exhausted_reraises(tmp_path, monkeypatch):
             str(d / "run.log"), "1", "--scene", "dam", "--dtype", "float64",
             "--backend", "packed", "--end-time", "0.002",
         ])
+
+
+def test_ensure_backend_falls_back_from_stale_platform_name():
+    """Tunnel restarts can re-register the TPU platform under a different
+    name; a pinned-but-stale JAX_PLATFORMS must degrade to auto-selection
+    instead of killing the process (utils/platform.ensure_backend)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from particlemethod_fsi_tpu.utils.platform import ensure_backend\n"
+        "ensure_backend()\n"
+        "import jax\n"
+        "assert len(jax.devices()) >= 1\n"
+        "print('fallback OK:', jax.devices()[0].platform)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="stale_tunnel_name",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "fallback OK" in proc.stdout
