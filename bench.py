@@ -118,9 +118,20 @@ def _measure(n_side: int, backend: str):
 
 def _child(backend: str, n_side: int) -> int:
     """Subprocess entry: one attempt, JSON on stdout, tracebacks on stderr."""
-    from particlemethod_fsi_tpu.utils.platform import ensure_backend
+    from particlemethod_fsi_tpu.utils.platform import (ACCELERATOR_NAMES,
+                                                       ensure_backend)
 
-    ensure_backend()  # pinned-but-stale JAX_PLATFORMS name -> auto-select
+    # pinned-but-stale JAX_PLATFORMS name -> auto-select (warns on stderr)
+    platform = ensure_backend()
+    allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
+    if platform not in ACCELERATOR_NAMES and not allow_cpu:
+        # ADVICE r3 item 1: never publish a CPU measurement as a chip
+        # number.  The parent ladder records this as a loud failure entry
+        # and only falls back to an explicitly-flagged CPU rung at the
+        # very end of the ladder.
+        print(f"bench refusing to measure on platform '{platform}': "
+              "no TPU resolved (tunnel down?)", file=sys.stderr, flush=True)
+        return 3
     _enable_compile_cache()
     n, step_s = _measure(n_side, backend)
     value = n / step_s
@@ -134,6 +145,10 @@ def _child(backend: str, n_side: int) -> int:
         "step_ms": round(step_s * 1000, 3),
         "particles": n,
         "backend": backend,
+        "platform": platform,
+        **({"warning": "MEASURED ON CPU — not a chip number; the TPU "
+                       "plugin did not resolve"}
+           if platform not in ACCELERATOR_NAMES else {}),
     }), flush=True)
     return 0
 
@@ -188,7 +203,8 @@ def main():
                          or "tunnel" in tail.lower()
                          # tunnel restart re-registers the platform name
                          # mid-flap; a retry lands after it settles
-                         or "list of known backends" in tail)
+                         or "list of known backends" in tail
+                         or "no TPU resolved" in tail)
             reason = (tail.splitlines()[-1][:200] if tail.splitlines()
                       else f"rc={proc.returncode}")
             fallbacks.append(f"{backend}@{n_side}: {reason}")
@@ -199,6 +215,30 @@ def main():
                 time.sleep(5)  # let the tunnel recover
                 continue
             break
+    # Last resort: the whole ladder failed (e.g. tunnel down for the whole
+    # budget).  Record a SMALL, EXPLICITLY-FLAGGED CPU measurement rather
+    # than a null artifact — the JSON carries platform="cpu" and a warning
+    # field so it can never be mistaken for a chip number (ADVICE r3).
+    remaining = deadline - time.time()
+    if remaining > 20:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", "packed", "150"],
+                capture_output=True, text=True,
+                timeout=max(min(remaining - 5, 120), 5),
+                env={**os.environ, "BENCH_ALLOW_CPU": "1"},
+            )
+            if proc.returncode == 0:
+                for line in proc.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        out = json.loads(line)
+                        out["degraded_from"] = fallbacks
+                        print(json.dumps(out), flush=True)
+                        return
+        except subprocess.TimeoutExpired:
+            pass
     raise SystemExit(f"bench failed at all sizes/backends: {fallbacks}")
 
 

@@ -1,6 +1,6 @@
 #!/bin/sh
 # repo root on sys.path so the scripts run standalone (package is not pip-installed)
-PYTHONPATH="$(cd "$(dirname "$0")/../.." && pwd):$PYTHONPATH"; export PYTHONPATH
+PYTHONPATH="$(cd "$(dirname "$0")/../.." && pwd)${PYTHONPATH:+:$PYTHONPATH}"; export PYTHONPATH
 # single chip:   ./execute.sh
 # multi-chip:    ./execute.sh --mesh 8 --mode halo          (pod slice)
 # virtual test:  ./execute.sh --mesh 8 --mode halo --host-devices 8

@@ -1,4 +1,4 @@
 #!/bin/sh
 # repo root on sys.path so the scripts run standalone (package is not pip-installed)
-PYTHONPATH="$(cd "$(dirname "$0")/../.." && pwd):$PYTHONPATH"; export PYTHONPATH
+PYTHONPATH="$(cd "$(dirname "$0")/../.." && pwd)${PYTHONPATH:+:$PYTHONPATH}"; export PYTHONPATH
 python generate.py --scale "${WAVE_SCALE:-0.2}"

@@ -125,10 +125,18 @@ def run(args) -> int:
         # tunnel state; '' = auto-select resolves either (utils/platform.py)
         platform = "" if args.platform in ("tpu", "axon") else args.platform
         jax.config.update("jax_platforms", platform)
-    from particlemethod_fsi_tpu.utils.platform import ensure_backend
+    from particlemethod_fsi_tpu.utils.platform import (ensure_backend,
+                                                       require_accelerator)
 
-    ensure_backend()
+    resolved_platform = ensure_backend()
+    if args.platform:
+        # explicit --platform tpu/axon maps to auto-select (the tunneled
+        # plugin's registered name flaps between the two); if auto-select
+        # landed on CPU the user's request was NOT honored — say so loudly
+        # instead of silently proceeding (ADVICE r3 item 2).
+        require_accelerator(resolved_platform, args.platform)
     log = RunLog(args.log, args.metrics)
+    log.printf("platform: %s\n", resolved_platform)
     log.printf("start reading files at %s\n", _time.ctime())
     grid_path = args.restart_grid or args.grid
     if args.restart_grid:
