@@ -117,6 +117,26 @@ class TestGenerator:
         assert np.all(r <= 1.0 + 1e-12)
         assert np.all(r > 0.5 - 1e-12)
 
+    def test_nonrectangular_primitives_match_reference_binary(self, tmp_path):
+        """Byte-level diff against the actual GeneratorForMph binary for every
+        non-Cuboid primitive (generator/generator.cpp:683-830): Cuboid2,
+        Cyboid (Ratio shell), Cyboid2 (ratio^4 annulus), Recboid (3.1415
+        wedge), Recboid2 (rotated, unconditional-append quirk Q6).
+        tests/fixtures/prims_ref.grid.gz is the committed output of the
+        reference generator (g++ build) on tests/fixtures/prims.boid."""
+        import gzip
+        import shutil
+
+        from particlemethod_fsi_tpu.generator import generate_case
+
+        fix = "/root/repo/tests/fixtures"
+        shutil.copy(f"{fix}/prims.boid", tmp_path / "prims.boid")
+        generate_case(str(tmp_path / "prims"))
+        ours = (tmp_path / "prims.grid").read_bytes()
+        with gzip.open(f"{fix}/prims_ref.grid.gz", "rb") as f:
+            ref = f.read()
+        assert ours == ref  # byte-identical, all 2,861 particles
+
     def test_recboid2_appends_unconditionally(self):
         """Quirk Q6: Recboid2's membership test is missing in the reference;
         every lattice point is appended (rotated)."""
