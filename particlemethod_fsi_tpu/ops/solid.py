@@ -283,7 +283,12 @@ def deformation_gradient_subset(sub_pos, solid: SolidStatic, domain_width):
             [jnp.sum(w * xij_i * solid.xij0[..., j], axis=1)
              for j in range(sd)], axis=1))
     f_raw = jnp.stack(cols, axis=1)  # [S, sd, sd]
-    return jnp.einsum("nik,nkj->nij", f_raw, solid.normalizer)
+    # precision=HIGHEST: these batched 2x2/3x3 contractions otherwise lower
+    # to bf16 MXU passes on TPU (default matmul precision), which injects a
+    # ~0.4% relative error into F -- measured as |F - I| = 4.5e-3 on an
+    # UNDEFORMED body, i.e. O(E*4e-3) of spurious StVK stress everywhere.
+    return jnp.einsum("nik,nkj->nij", f_raw, solid.normalizer,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def stvk_stress(f, lam, mu):
@@ -291,7 +296,9 @@ def stvk_stress(f, lam, mu):
     S = 2 mu E + lambda tr(E) I (calculateStress, src/main.cpp:2768-2808)."""
     sd = f.shape[-1]
     eye = jnp.eye(sd, dtype=f.dtype)
-    c = jnp.einsum("nki,nkj->nij", f, f)
+    # f32 MXU precision (see deformation_gradient_subset): bf16 here would
+    # destroy E = (F^T F - I)/2, a difference of two O(1) numbers
+    c = jnp.einsum("nki,nkj->nij", f, f, precision=jax.lax.Precision.HIGHEST)
     strain = 0.5 * (c - eye)
     tr = jnp.trace(strain, axis1=-2, axis2=-1)
     stress = 2.0 * mu[:, None, None] * strain + (lam * tr)[:, None, None] * eye
@@ -306,7 +313,8 @@ def stress_velocity_kick(f, stress, solid: SolidStatic, elastic_dt: float):
         P_i   = F_i S_i A_i^-1
         dv_i  = (dtE / rho_i) * sum_j w(xij0) (P_i + P_j) xij0
     """
-    p_nom = jnp.einsum("nik,nkl,nlj->nij", f, stress, solid.normalizer)
+    p_nom = jnp.einsum("nik,nkl,nlj->nij", f, stress, solid.normalizer,
+                       precision=jax.lax.Precision.HIGHEST)
     sd = p_nom.shape[-1]
     s_n = p_nom.shape[0]
     # COMPONENT-MAJOR neighbor stresses: the naive ``p_nom[nbr0]``
