@@ -246,8 +246,8 @@ def run(args) -> int:
         ghost_over = int(d.get("ghost_overflow", 0))
         if ghost_over:
             log.printf("WARNING: ghost capacity overflow %d at t=%e "
-                       "(cross-boundary pairs dropped since last output; "
-                       "the spec refresh below resizes capacities)\n",
+                       "(cross-boundary pairs dropped at this output instant; "
+                       "the chunk-boundary spec refresh resizes capacities)\n",
                        ghost_over, time)
         # conservation sanity: kinetic energy + linear momentum of the
         # mobile particles (the VTK-cadence observability channel the
@@ -330,11 +330,6 @@ def run(args) -> int:
             write_vtk(args.vtk % i_step)
             log.printf("@ Vtk Output Time : %e\n", time)
             vtk_next += cfg.vtk_output_interval
-            # periodic-wrap coverage can go stale mid-run (the ghost plan is
-            # sized from t=0 strips); recheck host-side at output cadence
-            if sim.refresh_ghosts(state):
-                log.printf("ghost spec refreshed at t=%e (wrap coverage / "
-                           "capacity changed; step re-jitted)\n", time)
         c_other += _time.time() - t0
 
         # advance to the next output boundary fully on-device
@@ -419,8 +414,25 @@ def run(args) -> int:
         c_explicit += _time.time() - t0
         time += n_steps * dt
         i_step += n_steps
+        # periodic-wrap upkeep at EVERY chunk boundary, i.e. every host
+        # touchpoint (prof AND vtk cadence) -- not just VTK cadence: an axis
+        # can start wrapping or a strip can overflow mid-interval, and
+        # state.ghost_overflow is max-accumulated inside the scan so a
+        # transient mid-chunk overflow cannot hide between outputs
+        # (reference keeps min-image always-on instead, src/main.cpp:1743-1810)
+        g_over = int(state.ghost_overflow)
+        if g_over:
+            log.printf("WARNING: ghost capacity overflow %d inside the "
+                       "interval ending t=%e (cross-boundary pairs were "
+                       "dropped; resizing ghost spec)\n", g_over, time)
+            import jax.numpy as jnp
+
+            state = state.replace(ghost_overflow=jnp.zeros((), jnp.int32))
+        if sim.refresh_ghosts(state, force=bool(g_over)):
+            log.printf("ghost spec refreshed at t=%e (wrap coverage / "
+                       "capacity changed; step re-jitted)\n", time)
         log.metric(step=i_step, time=time, chunk=n_steps,
-                   chunk_seconds=_time.time() - t0)
+                   chunk_seconds=_time.time() - t0, ghost_overflow=g_over)
 
     log.printf("end main roop at %s\n", _time.ctime())
     total = _time.time() - t_start

@@ -233,13 +233,20 @@ class Simulation:
         self._pad_planes = (not self.cfg.two_dimensional
                             and self._frame_grid.cell_count[2] > 1)
 
-    def refresh_ghosts(self, state: ParticleState) -> bool:
-        """Output-cadence host check that the periodic-wrap plan (sized from
+    def refresh_ghosts(self, state: ParticleState, *,
+                       force: bool = False) -> bool:
+        """Chunk-boundary host check that the periodic-wrap plan (sized from
         t=0 strips) still covers the CURRENT distribution
         (ghosts.spec_is_stale): an axis can start wrapping mid-run, or a
         strip can outgrow its fixed capacity.  Rebuilds the ghost spec and
         re-jits the step when stale.  Returns True on rebuild (callers
-        should log the recompile)."""
+        should log the recompile).
+
+        ``force=True`` rebuilds even when the spec looks fresh NOW: used when
+        ``state.ghost_overflow`` reports a capacity overflow that happened
+        MID-chunk (the strip may have shrunk back below capacity by the time
+        the host looks, but pairs were already dropped -- resize anyway so
+        the replayed/next interval has headroom)."""
         if self._backend not in ("pallas", "pallas_t"):
             return False
         pos = np.asarray(state.pos)
@@ -248,8 +255,9 @@ class Simulation:
             self.cell_grid, pos, valid, self.kernels.support_radius,
             self.cfg.two_dimensional,
         )
-        if not gh.spec_is_stale(self._ghosts, self.cell_grid, pos, valid,
-                                self.kernels.support_radius, axes_now):
+        if not force and not gh.spec_is_stale(
+                self._ghosts, self.cell_grid, pos, valid,
+                self.kernels.support_radius, axes_now):
             return False
         self._rebuild_ghosts(pos, valid)
         self._step_jit = jax.jit(self._step)
@@ -469,8 +477,12 @@ class Simulation:
         return f1
 
     def _force(self, pos, vel, prop):
-        """Total pairwise + body force, dispatched to the configured backend."""
+        """Total pairwise + body force, dispatched to the configured backend.
+        Returns ``(force, ghost_overflow)``; the overflow scalar is nonzero
+        only when a periodic ghost strip exceeded its fixed capacity this
+        step (cross-boundary pairs dropped -- the caller must surface it)."""
         backend = self._backend
+        overflow = jnp.zeros((), jnp.int32)
         if backend in ("packed", "pallas", "pallas_t"):
             if backend == "packed":
                 frame = pk.sort_frame(pos, vel, prop, self.cell_grid,
@@ -483,7 +495,7 @@ class Simulation:
                 )
             else:
                 fgrid = self._frame_grid
-                finputs, gsrc, _ = self._frame_inputs(pos, vel, prop)
+                finputs, gsrc, overflow = self._frame_inputs(pos, vel, prop)
                 frame = self._pallas_frame(*finputs)
                 pcfg = self._pcfg
                 if backend == "pallas_t":
@@ -525,8 +537,8 @@ class Simulation:
             # slot order; ghost rows (orig >= n_pad) sort to the tail and
             # are dropped by the slice
             (force,) = pk.unsort(frame, force_s)
-            return force[: self.n_pad]
-        return self._fluid_phase(pos, vel, prop)[0]
+            return force[: self.n_pad], overflow
+        return self._fluid_phase(pos, vel, prop)[0], overflow
 
     def _step_core(self, state: ParticleState, cache):
         """One full time step (the loop body of main(), src/main.cpp:592-686).
@@ -551,9 +563,12 @@ class Simulation:
         pos = wl.periodic_wrap(pos, self.domain_min, self.domain_width)
 
         if cache is None:
-            force = self._force(pos, vel, prop)
+            force, ghost_over = self._force(pos, vel, prop)
         else:
+            # C8 cached path is only active when the scene has no ghosts
+            # (_margin_cached), so its overflow is identically zero
             force, cache = self._force_cached(pos, vel, prop, cache)
+            ghost_over = jnp.zeros((), jnp.int32)
 
         # velocity kick for fluid + structure (calculateAcceleration,
         # src/main.cpp:2938-2955)
@@ -576,7 +591,11 @@ class Simulation:
             )
 
         return state.replace(
-            pos=pos, vel=vel, wall_center=wall_center, time=time + dt
+            pos=pos, vel=vel, wall_center=wall_center, time=time + dt,
+            # max-accumulated across the scan: a one-step overflow inside a
+            # chunk survives to the next host touchpoint instead of being
+            # visible only if the LAST step overflowed
+            ghost_overflow=jnp.maximum(state.ghost_overflow, ghost_over),
         ), cache
 
     def _step(self, state: ParticleState) -> ParticleState:

@@ -42,6 +42,12 @@ class ParticleState:
     vel: jax.Array  # [N,3]
     wall_center: jax.Array  # [TYPE_COUNT,3] rigid-wall centers (src/main.cpp:173)
     time: jax.Array  # scalar
+    # max ghost-strip capacity overflow seen since the host last reset it
+    # (periodic scenes only; 0 otherwise).  Carried through the scan so a
+    # mid-interval overflow cannot be silently lost between outputs: the
+    # step max-accumulates, the CLI surfaces + resets at chunk boundaries.
+    ghost_overflow: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @property
     def n_pad(self) -> int:

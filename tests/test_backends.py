@@ -4,7 +4,7 @@ gather backend -- both must produce identical physics."""
 import numpy as np
 import pytest
 
-from cases import dam_like_config, mini_dam, mini_fsi
+from cases import L0, dam_like_config, mini_dam, mini_fsi
 from particlemethod_fsi_tpu.config import SCENES
 from particlemethod_fsi_tpu.solver import Simulation
 from particlemethod_fsi_tpu.state import to_numpy
@@ -210,3 +210,117 @@ def test_pallas_t_merged_sweep_agrees_3d():
     b = to_numpy(sim1.run_chunk(sim1.state0, 10), grid.n)
     np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-13, atol=1e-16)
     np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-11, atol=1e-15)
+
+@pytest.mark.slow
+def test_ghost_wrap_staleness_caught_at_chunk_boundary():
+    """VERDICT-r3 weakness 5: an axis that STARTS wrapping mid-run must be
+    caught at the next host touchpoint (chunk boundary), not only at VTK
+    cadence.  A fluid block drifts +x toward the periodic boundary of an
+    initially non-wrapping scene; within one 20-step chunk of the first
+    crossing, refresh_ghosts() must report stale and rebuild a spec covering
+    x, after which the pallas_t forces must again match the packed engine's
+    always-on minimum image (reference keeps min-image unconditionally,
+    src/main.cpp:1743-1810)."""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+    from particlemethod_fsi_tpu.ops import ghosts as gh
+
+    def drifting_grid():
+        g = generate_grid(BoidScene(
+            particle_distance=L0,
+            lower_domain=(0.0, 0.0, 0.0),
+            upper_domain=(16 * L0, 12 * L0, L0),
+            primitives=[Primitive("Cuboid", spacing=L0, type=1,
+                                  lower=(5 * L0, 3 * L0, 0),
+                                  upper=(11 * L0, 9 * L0, L0))],
+        ))
+        g.velocity[:, 0] = 0.5  # reaches the x boundary in ~100 steps
+        return g
+
+    base = dict(gravity=(0.0, 0.0, 0.0))
+    cfg = dam_like_config(backend="pallas_t", pallas_block=32,
+                          pallas_wmax=128).replace(**base)
+    sim = Simulation(cfg, drifting_grid())
+    assert sim._ghosts is None  # block sits >support from every boundary
+    s = sim.state0
+    refreshed_at = None
+    for chunk in range(10):  # 10 x 20 steps
+        s = sim.run_chunk(s, 20)
+        if sim.refresh_ghosts(s):
+            refreshed_at = chunk
+            break
+    assert refreshed_at is not None, "wrap never detected"
+    assert gh.spec_axes(sim._ghosts)[0], "rebuilt spec must cover x"
+    # first crossing happens at drift ~5mm (step ~100, chunk index 4);
+    # detection must land on that chunk's boundary (one-chunk window)
+    assert refreshed_at in (4, 5)
+
+    # after the refresh the ghost-extended sweep must reproduce packed
+    # min-image physics from the SAME state
+    cfg_pk = dam_like_config(backend="packed").replace(**base)
+    sim_pk = Simulation(cfg_pk, drifting_grid())
+    s2, s_pk2 = s.replace(), s.replace()
+    for _ in range(10):
+        s2 = sim.step(s2)
+        s_pk2 = sim_pk.step(s_pk2)
+    a, b = to_numpy(s2, sim.n), to_numpy(s_pk2, sim_pk.n)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], b["vel"], rtol=1e-9, atol=1e-13)
+
+
+@pytest.mark.slow
+def test_ghost_overflow_carried_out_of_scan():
+    """VERDICT-r3 weakness 5 (second half): a ghost-strip capacity overflow
+    inside a scan must survive to the chunk boundary in
+    ``state.ghost_overflow`` (max-accumulated per step) instead of being
+    visible only if the LAST step overflowed, and ``refresh_ghosts(...,
+    force=True)`` must rebuild healthy capacities."""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+
+    rng = np.random.default_rng(7)
+    n_side = 12
+    grid = generate_grid(BoidScene(
+        particle_distance=L0,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(n_side * L0, n_side * L0, L0),
+        primitives=[Primitive("Cuboid", spacing=L0, type=0,
+                              lower=(0, 0, 0),
+                              upper=(n_side * L0, n_side * L0, L0))],
+    ))
+    grid.velocity[:, :2] = rng.normal(scale=0.05, size=(grid.n, 2))
+    cfg = dam_like_config(backend="pallas_t", pallas_block=32,
+                          pallas_wmax=128).replace(
+        gravity=(0.0, 0.0, 0.0))
+    sim = Simulation(cfg, grid)
+    spec = sim._ghosts
+    assert spec is not None
+    # sabotage two image strips to zero capacity (keeps the extended frame
+    # length a multiple of 256): every step now overflows by the strip count
+    caps = list(spec.caps)
+    big = sorted(range(len(caps)), key=lambda i: -caps[i])[:2]
+    assert caps[big[0]] >= 128 and caps[big[1]] >= 128
+    caps[big[0]] -= 128
+    caps[big[1]] -= 128
+    sim._ghosts = spec.__class__(grid=spec.grid, shifts=spec.shifts,
+                                 caps=tuple(caps), support=spec.support)
+    import jax
+
+    sim._step_jit = jax.jit(sim._step)
+    sim._chunk_jit = jax.jit(sim._chunk, static_argnums=1)
+    s = sim.run_chunk(sim.state0, 5)
+    assert int(s.ghost_overflow) > 0, "overflow did not survive the scan"
+    # forced refresh resizes even though the spec may look fresh NOW
+    assert sim.refresh_ghosts(s, force=True)
+    assert all(c >= 128 for c in sim._ghosts.caps)
+    s = s.replace(ghost_overflow=jnp_zero())
+    s = sim.run_chunk(s, 5)
+    assert int(s.ghost_overflow) == 0
+
+
+def jnp_zero():
+    import jax.numpy as jnp
+
+    return jnp.zeros((), jnp.int32)
