@@ -118,3 +118,54 @@ def test_dam_golden_1000_steps():
     t, g = load_golden(f"{GOLD}/dam/dam1000.prof.gz")
     dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
     assert dp < 5.0e-5, f"position diff {dp:.3e} m vs golden"
+
+
+@pytest.mark.slow
+def test_rolling1_golden_structure():
+    """Rolling1 module (clamped structure block, src/main.cpp:54-59 toggle +
+    the y<0.003 clamp): 100 steps vs the reference binary built with
+    #define Rolling1.  Measured 4.5e-7 m max (the .prof format floor)."""
+    sim, out = run_steps(f"{GOLD}/rolling1/r1f.data",
+                         case_grid("rolling", "rolling"), "rolling1", 100)
+    t, g = load_golden(f"{GOLD}/rolling1/r1f_0100.prof.gz")
+    assert t == pytest.approx(0.01)
+    dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
+    assert dp < 2.0e-6, f"position diff {dp:.3e} m vs golden"
+
+
+@pytest.mark.slow
+def test_rolling_golden_rocking_wall():
+    """Rolling module (rocking-wall harmonic motion incl. the theta=|omega|^2
+    quirk, src/main.cpp:2974-3029): 500 steps vs the reference binary built
+    with #define Rolling.  Measured 4.5e-6 m max at step 500; by step 1000
+    the sloshing fluid decorrelates (1.3e-2) while wall rows stay at 9e-6 --
+    a chaos horizon, so the assertion stops at 500."""
+    sim, out = run_steps(f"{GOLD}/rolling/rolling.data",
+                         case_grid("rolling", "rolling"), "rolling", 500)
+    t, g = load_golden(f"{GOLD}/rolling/rolling0500.prof.gz")
+    assert t == pytest.approx(0.05)
+    dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
+    assert dp < 2.0e-5, f"position diff {dp:.3e} m vs golden"
+    # the moving wall itself (type 4) must track the reference's rocking
+    # kinematics to the format floor
+    wall = g[:, 0].astype(int) == 4
+    dw = np.abs(out["pos"][wall, :2] - g[wall, 1:3]).max()
+    assert dw < 2.0e-5, f"wall position diff {dw:.3e} m vs golden"
+
+
+@pytest.mark.slow
+def test_hydroelastic_golden_200_steps():
+    """Hydroelastic module (x<l0 clamp, src/main.cpp:2019-2032): water column
+    impacting a clamped elastic slab, 200 steps vs the reference binary built
+    with #define Hydroelastic.  Measured 1.13e-5 m max (structure rows
+    3.2e-6); 6.3e-5 by step 1000."""
+    sim, out = run_steps(f"{GOLD}/hydro/hydro.data",
+                         case_grid("hydroelastic", "hydro"),
+                         "hydroelastic", 200)
+    t, g = load_golden(f"{GOLD}/hydro/hydro0200.prof.gz")
+    assert t == pytest.approx(0.01)
+    dp = np.abs(out["pos"][:, :2] - g[:, 1:3]).max()
+    assert dp < 5.0e-5, f"position diff {dp:.3e} m vs golden"
+    struct_rows = (g[:, 0].astype(int) >= 2) & (g[:, 0].astype(int) < 4)
+    ds = np.abs(out["pos"][struct_rows, :2] - g[struct_rows, 1:3]).max()
+    assert ds < 1.0e-5, f"structure position diff {ds:.3e} m vs golden"
