@@ -195,6 +195,16 @@ class Simulation:
         self._speed_limit2 = (2.0 * max(sound_speed_bound(cfg), 1.0)) ** 2
 
     # ------------------------------------------------------------------
+    @property
+    def _frame_support(self) -> float:
+        """Reach the ghost plan must cover: support + the C8 margin.  Under
+        frame reuse a strip particle can be up to margin/2 past the depth it
+        was selected at; selecting strips (and deciding wrap) one margin
+        deeper keeps every cross-boundary pair covered by a stale frame --
+        the ghost analog of the margin-widened cell grid above."""
+        return (self.kernels.support_radius
+                + self.cfg.numerics.rebuild_margin * self.spacing)
+
     def _rebuild_ghosts(self, positions, valid):
         """(Re)build the periodic ghost plan + frame grid from the given
         positions (pallas backends only; windows clip at the domain edge, so
@@ -205,17 +215,27 @@ class Simulation:
             return
         axes = gh.wrapped_axes(
             self.cell_grid, positions, valid,
-            self.kernels.support_radius, self.cfg.two_dimensional,
+            self._frame_support, self.cfg.two_dimensional,
         )
         # never drop an already-covered axis (a boundary strip can empty
         # transiently; re-adding later would cost another recompile)
         axes = tuple(a or c for a, c in zip(axes, gh.spec_axes(self._ghosts)))
         self._ghosts = None
+        self._ghost_shift_rows = None
         if any(axes):
             self._ghosts = gh.build_ghost_spec(
                 self.cell_grid, axes, positions, valid,
-                self.kernels.support_radius,
+                self._frame_support,
             )
+            # static per-slot image shift (slot ranges per image are fixed
+            # by the spec's caps): the C8 skip path refreshes each ghost
+            # row as pos[src] + shift without re-running the extraction
+            shifts = np.concatenate([
+                np.repeat(np.asarray(s, np.float64)[None, :]
+                          * np.asarray(self.domain_width), cap, axis=0)
+                for s, cap in zip(self._ghosts.shifts, self._ghosts.caps)
+            ])
+            self._ghost_shift_rows = jnp.asarray(shifts, dtype=self.dtype)
             import logging
 
             logging.getLogger(__name__).info(
@@ -252,12 +272,12 @@ class Simulation:
         pos = np.asarray(state.pos)
         valid = np.asarray(state.prop) >= 0
         axes_now = gh.wrapped_axes(
-            self.cell_grid, pos, valid, self.kernels.support_radius,
+            self.cell_grid, pos, valid, self._frame_support,
             self.cfg.two_dimensional,
         )
         if not force and not gh.spec_is_stale(
                 self._ghosts, self.cell_grid, pos, valid,
-                self.kernels.support_radius, axes_now):
+                self._frame_support, axes_now):
             return False
         self._rebuild_ghosts(pos, valid)
         self._step_jit = jax.jit(self._step)
@@ -452,26 +472,32 @@ class Simulation:
             frame = pk.pad_frame_planes(frame, self._frame_grid)
         return frame
 
-    def _propagate_ghost_fields(self, frame, f1, src):
+    def _propagate_ghost_fields(self, inv, f1, src):
         """Overwrite ghost rows' phase-1 sender fields with their SOURCE
         particles' values (a ghost's own sums are incomplete: its
         neighborhood is clipped at the extended-domain edge).  mu needs no
         fix (per-row from prop); without surface tension pa/gc are zero
-        everywhere, so only pressure_p must ride along."""
+        everywhere, so only pressure_p must ride along.
+
+        ``inv = argsort(frame.orig)`` is passed in (and CACHED on the C8
+        skip path -- the permutation is frozen with the frame, so skip
+        steps pay only the row gathers, not a fresh argsort)."""
         names = ["pressure_p"]
         if self._pcfg.surface_tension:
             names += ["pressure_a", "gravity_center"]
         # one i32 argsort + row gathers + a [G]-row scatter beat the round-2
         # first cut (unsort + resort = three full key sorts with f payloads)
         g = src.shape[0]
-        inv = jnp.argsort(frame.orig)
-        slot_rows = inv[: self.n_pad]  # frame row of each original slot
         ghost_rows = inv[self.n_pad: self.n_pad + g]  # frame row per ghost
+        # compose indices FIRST: inv[src] is each ghost's source frame row
+        # ([G] i32 gather), so each field pays one [G]-row gather + one
+        # [G]-row scatter -- not a full n_pad-row gather per field (measured
+        # ~3.5 ms/field at 1M)
+        src_rows = inv[src]
         f1 = dict(f1)
         for k in names:
             v = f1[k]
-            gvals = v[slot_rows][src]  # each ghost's SOURCE value
-            f1[k] = v.at[ghost_rows].set(gvals)
+            f1[k] = v.at[ghost_rows].set(v[src_rows])
         if "gc_rows" in f1 and self._pcfg.surface_tension:
             f1["gc_rows"] = f1["gravity_center"].T
         return f1
@@ -506,7 +532,8 @@ class Simulation:
                         interpret=self._pallas_interpret,
                     )
                     if gsrc is not None:
-                        f1 = self._propagate_ghost_fields(frame, f1, gsrc)
+                        f1 = self._propagate_ghost_fields(
+                            jnp.argsort(frame.orig), f1, gsrc)
                     force_s = pwt.phase2_forces_pallas_t(
                         frame, f1, fgrid, self.kernels, self.tables,
                         volume=self.volume,
@@ -520,7 +547,8 @@ class Simulation:
                         cfg=pcfg, interpret=self._pallas_interpret,
                     )
                     if gsrc is not None:
-                        f1 = self._propagate_ghost_fields(frame, f1, gsrc)
+                        f1 = self._propagate_ghost_fields(
+                            jnp.argsort(frame.orig), f1, gsrc)
                     force_s = pw.phase2_forces_pallas(
                         frame, f1, fgrid, self.kernels, self.tables,
                         volume=self.volume,
@@ -565,10 +593,8 @@ class Simulation:
         if cache is None:
             force, ghost_over = self._force(pos, vel, prop)
         else:
-            # C8 cached path is only active when the scene has no ghosts
-            # (_margin_cached), so its overflow is identically zero
-            force, cache = self._force_cached(pos, vel, prop, cache)
-            ghost_over = jnp.zeros((), jnp.int32)
+            force, ghost_over, cache = self._force_cached(
+                pos, vel, prop, cache)
 
         # velocity kick for fluid + structure (calculateAcceleration,
         # src/main.cpp:2938-2955)
@@ -604,26 +630,35 @@ class Simulation:
     @property
     def _margin_cached(self) -> bool:
         """C8 skip active: margin configured + the (only) backend that
-        carries a reusable frame + window tables."""
+        carries a reusable frame + window tables.  Ghost (periodic) scenes
+        are covered too since round 5: ghost rows are pure shifted copies of
+        source rows, so the cached permutation/windows/spec stay valid under
+        the same displacement predicate, with ghost payloads refreshed from
+        the cached source map each step (VERDICT r4 item 3)."""
         return (self.cfg.numerics.rebuild_margin > 0.0
-                and self._backend == "pallas_t" and self._ghosts is None)
+                and self._backend == "pallas_t")
 
     def _init_cache(self, state: ParticleState):
         """Zero frame cache whose ref_pos forces a rebuild on first use."""
-        n = self.n_pad
+        G = self._ghosts.total_capacity if self._ghosts is not None else 0
+        n = self.n_pad + G
         if self._pad_planes:
             n += (self._frame_grid.cell_count[2] + 1) * 256
         pcfg = self._pcfg
         nblocks = n // pcfg.block
         n_off = len(pw.row_offsets(self._frame_grid)[0])
         i32 = jnp.int32
-        return dict(
+        cache = dict(
             orig=jnp.zeros((n,), i32), key=jnp.zeros((n,), i32),
             prop_s=jnp.zeros((n,), i32),
             ws=jnp.zeros((nblocks, n_off), i32),
             wl=jnp.zeros((nblocks, n_off), i32),
             ref_pos=jnp.full_like(state.pos, jnp.inf),
         )
+        if self._ghosts is not None:
+            cache["gsrc"] = jnp.zeros((G,), i32)
+            cache["inv"] = jnp.zeros((n,), i32)
+        return cache
 
     def _force_cached(self, pos, vel, prop, cache):
         """pallas_t force evaluation under the C8 margin predicate
@@ -633,34 +668,67 @@ class Simulation:
         by the margin (cell_grid build), so the stale frame still covers
         every pair within the true support; family-radius masks test CURRENT
         positions, so forces are exact either way -- only the summation
-        order differs between a fresh and a reused permutation."""
+        order differs between a fresh and a reused permutation.
+
+        Ghost (periodic) scenes: strips are selected one margin deeper
+        (_frame_support), so every particle within the TRUE support of a
+        wrapped boundary during the skip window already has its image rows
+        in the frame; skip steps refresh each image's payload as
+        ``pos[src] + shift`` (exact current positions -- the masks stay
+        exact), and reuse the cached argsort for field propagation.  A
+        boundary CROSSING teleports the source by a domain width, trips the
+        displacement predicate, and forces a rebuild.  Returns
+        ``(force, ghost_overflow, new_cache)``; overflow can only be
+        counted on rebuild steps (membership is frozen in between)."""
         fgrid = self._frame_grid
         pcfg = self._pcfg
+        ghosts = self._ghosts
+        G = ghosts.total_capacity if ghosts is not None else 0
+        n_ext = self.n_pad + G
         disp2 = jnp.max(jnp.sum((pos - cache["ref_pos"]) ** 2, axis=1))
 
         def do_rebuild(_):
-            frame = self._pallas_frame(pos, vel, prop)
+            finputs, gsrc, gover = self._frame_inputs(pos, vel, prop)
+            frame = self._pallas_frame(*finputs)
             ws, wl = pw.compute_windows(frame, fgrid, pcfg)
-            return (frame.orig, frame.key, frame.prop, frame.pos, frame.vel,
-                    ws, wl, pos)
+            out = (frame.orig, frame.key, frame.prop, frame.pos, frame.vel,
+                   ws, wl, pos, gover)
+            if ghosts is not None:
+                out += (gsrc, jnp.argsort(frame.orig).astype(jnp.int32))
+            return out
 
         def do_skip(c):
-            payload = jnp.concatenate([pos, vel], axis=1)[c["orig"]]
+            if ghosts is not None:
+                # refresh image payloads from their sources (frozen map)
+                gpos = pos[c["gsrc"]] + self._ghost_shift_rows
+                gvel = vel[c["gsrc"]]
+                pos_x = jnp.concatenate([pos, gpos])
+                vel_x = jnp.concatenate([vel, gvel])
+            else:
+                pos_x, vel_x = pos, vel
+            payload = jnp.concatenate([pos_x, vel_x], axis=1)[c["orig"]]
             pos_s, vel_s = payload[:, 0:3], payload[:, 3:6]
             if self._pad_planes:
-                # 3-D plane-pad rows have orig >= n_pad (out of slot range):
-                # the gather above CLAMPS them to slot n_pad-1, un-poisoning
-                # rows whose cached key is a real cell -- they would pass the
-                # ring mask and act as phantom senders.  Re-poison them
-                # (pad_frame_planes convention: pos=1e9, vel=0).
-                valid = (c["orig"] < self.n_pad)[:, None]
+                # 3-D plane-pad rows have orig >= n_ext (out of slot range):
+                # the gather above CLAMPS them to the last slot,
+                # un-poisoning rows whose cached key is a real cell -- they
+                # would pass the ring mask and act as phantom senders.
+                # Re-poison them (pad_frame_planes convention: pos=1e9,
+                # vel=0).  Unfilled ghost slots need no poison: their cached
+                # key is the sort sentinel, outside every ring.
+                valid = (c["orig"] < n_ext)[:, None]
                 pos_s = jnp.where(valid, pos_s, 1.0e9)
                 vel_s = jnp.where(valid, vel_s, 0.0)
-            return (c["orig"], c["key"], c["prop_s"], pos_s,
-                    vel_s, c["ws"], c["wl"], c["ref_pos"])
+            out = (c["orig"], c["key"], c["prop_s"], pos_s,
+                   vel_s, c["ws"], c["wl"], c["ref_pos"],
+                   jnp.zeros((), jnp.int32))
+            if ghosts is not None:
+                out += (c["gsrc"], c["inv"])
+            return out
 
-        orig, key, prop_s, pos_s, vel_s, ws, wl, ref_pos = jax.lax.cond(
+        res = jax.lax.cond(
             disp2 > self._rebuild_thresh2, do_rebuild, do_skip, cache)
+        orig, key, prop_s, pos_s, vel_s, ws, wl, ref_pos, gover = res[:9]
         dummy = jnp.zeros((1,), jnp.int32)
         frame = pk.SortedFrame(key=key, pos=pos_s, vel=vel_s, prop=prop_s,
                                orig=orig, cell_start=dummy,
@@ -669,6 +737,13 @@ class Simulation:
         f1 = pwt.phase1_fields_pallas_t(
             frame, fgrid, self.kernels, self.tables, cfg=pcfg,
             windows=windows, interpret=self._pallas_interpret)
+        new_cache = dict(orig=orig, key=key, prop_s=prop_s, ws=ws, wl=wl,
+                         ref_pos=ref_pos)
+        if ghosts is not None:
+            gsrc, inv = res[9:]
+            f1 = self._propagate_ghost_fields(inv, f1, gsrc)
+            new_cache["gsrc"] = gsrc
+            new_cache["inv"] = inv
         force_s = pwt.phase2_forces_pallas_t(
             frame, f1, fgrid, self.kernels, self.tables, volume=self.volume,
             two_dimensional=self.cfg.two_dimensional, cfg=pcfg,
@@ -680,9 +755,7 @@ class Simulation:
         grav = jnp.asarray(self.cfg.gravity, dtype=pos.dtype)
         force_s = force_s + jnp.where(fs[:, None], mass_s[:, None] * grav, 0.0)
         (force,) = pk.unsort(frame, force_s)
-        new_cache = dict(orig=orig, key=key, prop_s=prop_s, ws=ws, wl=wl,
-                         ref_pos=ref_pos)
-        return force[: self.n_pad], new_cache
+        return force[: self.n_pad], gover, new_cache
 
     def _chunk(self, state: ParticleState, n_steps: int) -> ParticleState:
         if self._margin_cached:
@@ -780,7 +853,8 @@ class Simulation:
                     interpret=self._pallas_interpret,
                 )
                 if gsrc is not None:
-                    f1 = self._propagate_ghost_fields(frame, f1, gsrc)
+                    f1 = self._propagate_ghost_fields(
+                        jnp.argsort(frame.orig), f1, gsrc)
                 force_s = pwt.phase2_forces_pallas_t(
                     frame, f1, fgrid, self.kernels, self.tables,
                     volume=self.volume, two_dimensional=cfg.two_dimensional,
@@ -793,7 +867,8 @@ class Simulation:
                     cfg=pcfg, interpret=self._pallas_interpret,
                 )
                 if gsrc is not None:
-                    f1 = self._propagate_ghost_fields(frame, f1, gsrc)
+                    f1 = self._propagate_ghost_fields(
+                        jnp.argsort(frame.orig), f1, gsrc)
                 force_s = pw.phase2_forces_pallas(
                     frame, f1, fgrid, self.kernels, self.tables,
                     volume=self.volume, two_dimensional=cfg.two_dimensional,

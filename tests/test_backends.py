@@ -159,6 +159,47 @@ def test_rebuild_margin_c8_matches():
 
 
 @pytest.mark.slow
+def test_rebuild_margin_c8_matches_periodic_ghosts():
+    """C8 frame reuse on a GHOST (periodic) scene (round-5; VERDICT r4
+    item 3): the cached path must keep the ghost images' payloads current
+    (pos[src] + shift each step) and reproduce both the packed engine and
+    the rebuild-every-step pallas_t trajectory across the boundary."""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+
+    rng = np.random.default_rng(7)
+    n_side = 12
+    grid = generate_grid(BoidScene(
+        particle_distance=1e-3,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(n_side * 1e-3, n_side * 1e-3, 1e-3),
+        primitives=[Primitive("Cuboid", spacing=1e-3, type=0,
+                              lower=(0, 0, 0),
+                              upper=(n_side * 1e-3, n_side * 1e-3, 1e-3))],
+    ))
+    grid.velocity[:, :2] = rng.normal(scale=0.05, size=(grid.n, 2))
+    base = dict(gravity=(0.0, 0.0, 0.0),
+                surface_tension=(0.01, 0.01, 0.0, 0.0, 0.01, 0.0))
+    a = run(grid, dam_like_config(backend="packed").replace(**base), 12)
+    cfg0 = dam_like_config(backend="pallas_t", pallas_block=32,
+                           pallas_wmax=128).replace(**base)
+    cfg1 = dam_like_config(backend="pallas_t", pallas_block=32,
+                           pallas_wmax=128,
+                           rebuild_margin=1.0).replace(**base)
+    sim0, sim1 = Simulation(cfg0, grid), Simulation(cfg1, grid)
+    assert not sim0._margin_cached
+    assert sim1._margin_cached and sim1._ghosts is not None
+    # the margin-deepened strips must cover the support + margin reach
+    assert sim1._ghosts.support > sim0._ghosts.support
+    b = to_numpy(sim0.run_chunk(sim0.state0, 12), grid.n)
+    c = to_numpy(sim1.run_chunk(sim1.state0, 12), grid.n)
+    np.testing.assert_allclose(a["pos"], b["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(b["pos"], c["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(b["vel"], c["vel"], rtol=1e-9, atol=1e-13)
+
+
+@pytest.mark.slow
 def test_rebuild_margin_c8_matches_3d():
     """3-D variant of the C8 parity test: the cached-skip path regathers
     pos/vel by frame ``orig``, and 3-D plane-pad rows (orig >= n_pad,
