@@ -535,8 +535,8 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
             splits_y = ha.uniform_splits(sim, ny, 1)
         else:
             splits = ha.compute_splits(sim, nx, state0.pos, valid0, axis=0)
-            splits_y = (ha.compute_splits(sim, ny, state0.pos, valid0, axis=1)
-                        if ny > 1 else ha.uniform_splits(sim, 1, 1))
+            splits_y = ha.compute_splits_y(sim, nx, ny, state0.pos, valid0,
+                                           splits_x=splits)
         hcfg = ha.default_halo_config(
             sim, (nx, ny) if ny > 1 else ndev, splits=splits,
             splits_y=splits_y, state=state0,

@@ -72,11 +72,13 @@ class HaloConfig(NamedTuple):
 class HaloState:
     """Region-sharded fluid/wall arrays + replicated structure subset.
 
-    ``splits`` [nx+1] are the x split planes and ``splits_y`` [ny+1] the y
-    split planes (both replicated; ny = 1 on a 1-axis mesh, where
-    ``splits_y`` degenerates to the domain y bounds).  Equal-width by
-    default, recomputed by :func:`rebalance` for equal-count load balancing
-    under skewed density (e.g. a dam break piling into a few regions)."""
+    ``splits`` [nx+1] are the x split planes and ``splits_y`` [nx, ny+1]
+    the PER-COLUMN y split planes (both replicated; ny = 1 on a 1-axis
+    mesh, where each ``splits_y`` row degenerates to the domain y bounds).
+    Equal-width by default, recomputed by :func:`rebalance` for equal-count
+    load balancing under skewed density (e.g. a dam break piling into a few
+    regions); at ny == 2 the y planes are conditional per-column quantiles
+    (compute_splits_y) so even L-shaped densities balance exactly."""
 
     prop: jax.Array  # [ndev*cap] int32, -1 = empty
     pos: jax.Array  # [ndev*cap, 3]
@@ -88,7 +90,7 @@ class HaloState:
     s_vel: jax.Array  # [S_pad, 3]
     wall_center: jax.Array
     splits: jax.Array  # [nx+1] region boundaries along x (replicated)
-    splits_y: jax.Array  # [ny+1] region boundaries along y (replicated)
+    splits_y: jax.Array  # [nx, ny+1] per-column y boundaries (replicated)
     time: jax.Array
 
 
@@ -160,14 +162,81 @@ def compute_splits(sim, ndev: int, positions, valid,
     return s
 
 
+def _clip_min_width(s, lo, hi, n, support):
+    """Enforce the ghost-reach minimum width on a [n+1] split array."""
+    s = np.asarray(s, dtype=np.float64).copy()
+    s[0], s[-1] = lo, hi
+    for i in range(1, n + 1):
+        s[i] = max(s[i], s[i - 1] + support)
+    s[-1] = hi
+    for i in range(n - 1, 0, -1):
+        s[i] = min(s[i], s[i + 1] - support)
+    if s[0] > s[1] - support:
+        raise ValueError("split clipping failed: domain too narrow")
+    return s
+
+
+def compute_splits_y(sim, nx, ny, positions, valid,
+                     splits_x=None) -> np.ndarray:
+    """[nx, ny+1] y split planes, one row per x column.
+
+    ny == 2: per-x-slab CONDITIONAL equal-count quantiles -- exact balance
+    on skewed (L-shaped) densities where the tensor product of global
+    quantiles is up to ~80% imbalanced (tools/partition_imbalance.py).
+    Ring-safe at ny == 2 because an x-ghost's y-peer index can differ from
+    the recipient's by at most 1, so the one-hop two-stage exchange still
+    reaches every cross-corner pair; at ny > 2 adjacent columns' splits can
+    put a needed ghost 2+ y-hops away, so the GLOBAL quantiles are tiled
+    instead (documented limitation; 1-D slabs are exactly balanced anyway).
+    """
+    lo = sim.domain_min[1]
+    hi = lo + sim.domain_width[1]
+    support = _ghost_reach(sim)
+    if ny == 1:
+        return np.tile(np.asarray([lo, hi]), (nx, 1))
+    if (hi - lo) < ny * support:
+        raise ValueError(
+            f"domain axis-1 width {hi - lo:g} cannot host {ny} regions "
+            f"of minimum width {support:g}")
+    pos = np.asarray(positions)[np.asarray(valid)]
+    gq = compute_splits(sim, ny, positions, valid, axis=1)
+    if ny != 2 or splits_x is None:
+        return np.tile(gq, (nx, 1))
+    sx = np.asarray(splits_x)
+    out = np.empty((nx, ny + 1), dtype=np.float64)
+    for ix in range(nx):
+        in_x = (pos[:, 0] >= sx[ix]) & (pos[:, 0] < sx[ix + 1])
+        ys = pos[in_x, 1]
+        if ys.size < 2 * ny:
+            out[ix] = gq  # too thin to condition on; fall back to global
+            continue
+        q = np.quantile(ys, np.linspace(0.0, 1.0, ny + 1))
+        out[ix] = _clip_min_width(q, lo, hi, ny, support)
+    return out
+
+
+def normalize_splits_y(splits_y, nx: int, ny: int) -> np.ndarray:
+    """Accept legacy [ny+1] (global planes, tiled) or [nx, ny+1] arrays."""
+    sy = np.asarray(splits_y, dtype=np.float64)
+    if sy.ndim == 1:
+        sy = np.tile(sy, (nx, 1))
+    if sy.shape != (nx, ny + 1):
+        raise ValueError(f"splits_y shape {sy.shape} != ({nx}, {ny + 1})")
+    return sy
+
+
 def _dest_regions(pos, splits_x, splits_y, nx, ny):
     """Host-side destination region (ix*ny + iy) per particle."""
     ix = np.clip(np.searchsorted(splits_x, pos[:, 0], side="right") - 1,
                  0, nx - 1)
     if ny == 1:
         return ix
-    iy = np.clip(np.searchsorted(splits_y, pos[:, 1], side="right") - 1,
-                 0, ny - 1)
+    sy = normalize_splits_y(splits_y, nx, ny)
+    iy = np.zeros_like(ix)
+    for col in range(nx):
+        m = ix == col
+        iy[m] = np.clip(
+            np.searchsorted(sy[col], pos[m, 1], side="right") - 1, 0, ny - 1)
     return ix * ny + iy
 
 
@@ -198,8 +267,8 @@ def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
     pos = np.asarray(s.pos)
     valid = (prop >= 0) & ~((prop >= 2) & (prop < 4))
     sx = uniform_splits(sim, nx, 0) if splits is None else np.asarray(splits)
-    sy = uniform_splits(sim, ny, 1) if splits_y is None else \
-        np.asarray(splits_y)
+    sy = normalize_splits_y(
+        uniform_splits(sim, ny, 1) if splits_y is None else splits_y, nx, ny)
     if splits is not None or splits_y is not None or ny > 1:
         dest = _dest_regions(pos[valid], sx, sy, nx, ny)
         peak = int(np.bincount(dest, minlength=ntot).max())
@@ -229,8 +298,9 @@ def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
         peaks_x, peaks_y = 0, 0
         for ix in range(nx):
             in_x = (px >= sx[ix]) & (px < sx[ix + 1])
+            sy_c = sy[ix]  # per-column y planes (conditional quantiles)
             for iy in range(ny):
-                in_y = (py >= sy[iy]) & (py < sy[iy + 1])
+                in_y = (py >= sy_c[iy]) & (py < sy_c[iy + 1])
                 own = in_x & in_y
                 peaks_x = max(peaks_x,
                               int(np.sum(own & (px < sx[ix] + reach))),
@@ -238,9 +308,9 @@ def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
                 near_x = (px >= sx[ix] - reach) & (px < sx[ix + 1] + reach)
                 peaks_y = max(peaks_y,
                               int(np.sum(near_x & in_y
-                                         & (py < sy[iy] + reach))),
+                                         & (py < sy_c[iy] + reach))),
                               int(np.sum(near_x & in_y
-                                         & (py >= sy[iy + 1] - reach))))
+                                         & (py >= sy_c[iy + 1] - reach))))
         halo = max(halo, int(np.ceil(
             peaks_x * occupancy_margin / 128.0)) * 128)
         halo_y = max(halo_y, int(np.ceil(
@@ -262,13 +332,14 @@ def partition_state(sim, mesh: Mesh, hcfg: HaloConfig,
     nx, ny = mesh_shape(mesh)
     splits = uniform_splits(sim, nx, 0) if splits is None \
         else np.asarray(splits)
-    splits_y = uniform_splits(sim, ny, 1) if splits_y is None \
-        else np.asarray(splits_y)
+    splits_y = normalize_splits_y(
+        uniform_splits(sim, ny, 1) if splits_y is None else splits_y, nx, ny)
     # ghost-reach feasibility for ANY splits source (uniform --no-rebalance
     # included): a region narrower than support + the C8 margin needs
     # two-hop ghosts the ring never delivers -- pairs would drop silently
     reach = _ghost_reach(sim)
-    for name, s, n in (("x", splits, nx), ("y", splits_y, ny)):
+    for name, s, n in [("x", splits, nx)] + [
+            (f"y[col {c}]", splits_y[c], ny) for c in range(nx)]:
         if n == 1:
             continue
         widths = np.diff(np.asarray(s, dtype=np.float64))
@@ -364,8 +435,7 @@ def rebalance(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState) -> HaloState:
     pos = np.asarray(state.pos)
     valid = prop >= 0
     splits = compute_splits(sim, nx, pos, valid, axis=0)
-    splits_y = compute_splits(sim, ny, pos, valid, axis=1) if ny > 1 \
-        else uniform_splits(sim, 1, 1)
+    splits_y = compute_splits_y(sim, nx, ny, pos, valid, splits_x=splits)
     gathered = dict(
         prop=prop, pos=pos, vel=np.asarray(state.vel),
         pos0=np.asarray(state.pos0), oid=np.asarray(state.oid),
@@ -396,8 +466,7 @@ def regrow_config(sim, mesh: Mesh, hcfg: HaloConfig,
     pos = np.asarray(state.pos)
     valid = prop >= 0
     splits = compute_splits(sim, nx, pos, valid, axis=0)
-    splits_y = compute_splits(sim, ny, pos, valid, axis=1) if ny > 1 \
-        else uniform_splits(sim, 1, 1)
+    splits_y = compute_splits_y(sim, nx, ny, pos, valid, splits_x=splits)
     ns = types.SimpleNamespace(prop=prop, pos=pos)
     fresh = default_halo_config(
         sim, (nx, ny) if ny > 1 else nx, splits=splits, splits_y=splits_y,
@@ -658,8 +727,9 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         slab_lo = splits[rank_x]
         slab_hi = splits[rank_x + 1]
         if two_axis:
-            slab_ylo = splits_y[rank_y]
-            slab_yhi = splits_y[rank_y + 1]
+            sy_col = splits_y[rank_x]  # this column's y planes
+            slab_ylo = sy_col[rank_y]
+            slab_yhi = sy_col[rank_y + 1]
 
         # --- C8 predicate: GLOBAL max displacement since last rebuild -----
         if cache is None:
@@ -748,7 +818,7 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 valid2 = prop2 >= 0
                 propf2 = prop2.astype(dtype)
                 dest = jnp.clip(
-                    jnp.searchsorted(splits_y, pos2[:, 1], side="right") - 1,
+                    jnp.searchsorted(sy_col, pos2[:, 1], side="right") - 1,
                     0, ny - 1)
                 dist = jnp.where(valid2, (dest - rank_y) % ny, 0)
                 go_up = (dist > 0) & (dist <= ny // 2)
@@ -968,10 +1038,19 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         # rows carry prop=-1 from the pos/vel exchange, so pair math masks
         # them.  Two stages on a 2-axis mesh: x ghosts patched from their
         # owners FIRST, so the y stage forwards authoritative corner fields.
+        # Only fields a ghost row cannot derive locally ride the exchange:
+        # pressure_p always; pressure_a/gravity_center only with surface
+        # tension active (both are zero fields otherwise); mu NEVER -- it
+        # is per-row from the ghost's own prop lane, which already rode the
+        # payload exchange (mirror of the single-chip
+        # _propagate_ghost_fields note, solver.py).
+        want_st = any(v != 0.0 for v in sim.kernels.cof_a)
+        ex_names = (0, 1, 2) if want_st else (0,)
         sl_slots = inv[idx_l]
         sr_slots = inv[idx_r]
-        el = [a[sl_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
-        er = [a[sr_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
+        fields3 = [pp_s, pa_s, gc_s]
+        el = [fields3[i][sl_slots] for i in ex_names]
+        er = [fields3[i][sr_slots] for i in ex_names]
         gl = [jax.lax.ppermute(x, ax_x, perm(+1, nx)) for x in er]
         gr_ = [jax.lax.ppermute(x, ax_x, perm(-1, nx)) for x in el]
         ghost_slots = inv[cap:cap + 2 * hal]
@@ -979,23 +1058,20 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         def patch(a, lo_v, hi_v, slots):
             return a.at[slots].set(jnp.concatenate([lo_v, hi_v]))
 
-        pp_s = patch(pp_s, gl[0], gr_[0], ghost_slots)
-        pa_s = patch(pa_s, gl[1], gr_[1], ghost_slots)
-        gc_s = patch(gc_s, gl[2], gr_[2], ghost_slots)
-        mu_s = patch(mu_s, gl[3], gr_[3], ghost_slots)
+        for k, i in enumerate(ex_names):
+            fields3[i] = patch(fields3[i], gl[k], gr_[k], ghost_slots)
 
         if two_axis:
             syl_slots = inv[idx_yl]
             syr_slots = inv[idx_yr]
-            eyl = [a[syl_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
-            eyr = [a[syr_slots] for a in (pp_s, pa_s, gc_s, mu_s)]
+            eyl = [fields3[i][syl_slots] for i in ex_names]
+            eyr = [fields3[i][syr_slots] for i in ex_names]
             gyl = [jax.lax.ppermute(x, ax_y, perm(+1, ny)) for x in eyr]
             gyr = [jax.lax.ppermute(x, ax_y, perm(-1, ny)) for x in eyl]
             ghost_slots_y = inv[base_rows:base_rows + 2 * hal_y]
-            pp_s = patch(pp_s, gyl[0], gyr[0], ghost_slots_y)
-            pa_s = patch(pa_s, gyl[1], gyr[1], ghost_slots_y)
-            gc_s = patch(gc_s, gyl[2], gyr[2], ghost_slots_y)
-            mu_s = patch(mu_s, gyl[3], gyr[3], ghost_slots_y)
+            for k, i in enumerate(ex_names):
+                fields3[i] = patch(fields3[i], gyl[k], gyr[k], ghost_slots_y)
+        pp_s, pa_s, gc_s = fields3
 
         if sim.has_structure:
             # structure fields: owner shard's values, shared by psum

@@ -169,9 +169,9 @@ def test_halo2d_long_run_migration_and_rebalance():
     for _ in range(2):
         state, overflow = run_chunk(state, 50)
         assert int(overflow) == 0
-        sy = np.asarray(state.splits_y)
+        sy = np.asarray(state.splits_y)  # [nx, ny+1] per-column planes
         prop = np.asarray(state.prop)
-        iy = np.searchsorted(sy, np.asarray(state.pos)[prop >= 0, 1],
+        iy = np.searchsorted(sy[0], np.asarray(state.pos)[prop >= 0, 1],
                              side="right") - 1
         if prev_iy is not None:
             crossed_y = True  # a rebalance happened; both axes repartitioned
