@@ -321,3 +321,60 @@ def test_halo2d_equal_count_splits_where_equal_width_overflows():
     assert int(overflow) == 0
     out = halo.gather_state(sim, state)
     assert out["prop"].shape[0] == grid.n  # nothing lost
+
+
+def test_conditional_y_splits_balance_and_parity():
+    """Per-column conditional y-quantiles (compute_splits_y, round 5): on an
+    L-shaped density (fluid floor layer + residual column -- the dam-surge
+    shape where the tensor product of GLOBAL quantiles is 66-82% imbalanced,
+    tools/partition_imbalance.py) the 4x2 partition must be near-balanced
+    AND still reproduce the single-chip trajectory through the two-stage
+    corner-forwarding exchange."""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+    from cases import L0
+
+    scene = BoidScene(
+        particle_distance=L0,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(60 * L0, 40 * L0, L0),
+        primitives=[
+            # floor layer across the tank + residual column at the left wall
+            # (layers thicker than the ghost reach, so the min-width clip in
+            # compute_splits_y does not distort the conditional quantiles)
+            Primitive("Cuboid", spacing=L0, type=1, lower=(0.0, 0.0, 0.0),
+                      upper=(60 * L0, 8 * L0, L0)),
+            Primitive("Cuboid", spacing=L0, type=1, lower=(0.0, 8 * L0, 0.0),
+                      upper=(12 * L0, 32 * L0, L0)),
+        ],
+    )
+    grid = generate_grid(scene)
+    cfg = dam_like_config()
+    sim = Simulation(cfg, grid)
+    valid = grid.prop >= 0
+    nx, ny = 4, 2
+    sx = halo.compute_splits(sim, nx, grid.position, valid, axis=0)
+    sy = halo.compute_splits_y(sim, nx, ny, grid.position, valid, splits_x=sx)
+    assert sy.shape == (nx, ny + 1)
+    # columns see different densities => different conditional planes
+    assert not np.allclose(sy[0], sy[-1])
+    dest = halo._dest_regions(grid.position[valid], sx, sy, nx, ny)
+    counts = np.bincount(dest, minlength=nx * ny)
+    assert counts.max() / counts.mean() < 1.10, counts  # near-exact balance
+    # global quantiles on the same cloud are badly imbalanced (the point)
+    gq = np.tile(halo.compute_splits(sim, ny, grid.position, valid, axis=1),
+                 (nx, 1))
+    gcounts = np.bincount(
+        halo._dest_regions(grid.position[valid], sx, gq, nx, ny),
+        minlength=nx * ny)
+    assert gcounts.max() / gcounts.mean() > 1.25, gcounts
+
+    a = _single_chip_ref(sim, grid, 8)
+    mesh = make_mesh_grid(nx, ny)
+    hcfg = halo.default_halo_config(sim, (nx, ny), splits=sx, splits_y=sy)
+    b, out = _halo_run(sim, mesh, 8, hcfg=hcfg, splits=sx, splits_y=sy)
+    assert out["prop"].shape[0] == grid.n
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-9, atol=1e-14)
