@@ -93,14 +93,22 @@ def build_parser():
                         "of domain_x/support shards for non-channel scenes)")
     p.add_argument("--mode", default="halo", choices=["allgather", "halo"],
                    help="multi-chip strategy (with --mesh)")
-    p.add_argument("--halo-margin", type=float, default=1.2,
-                   help="halo mode: per-shard capacity margin over initial "
+    p.add_argument("--halo-margin", type=float, default=None,
+                   help="halo mode: per-shard capacity margin over "
                         "occupancy (frame rows are swept every step, so "
                         "lower is faster: 1.1 measured 72.9 vs 77.2 ms/step "
-                        "at 1M; saturation self-heals by regrowing caps)")
+                        "at 1M; saturation self-heals by regrowing caps). "
+                        "Default 1.08 adaptive / 1.2 static")
     p.add_argument("--no-rebalance", action="store_true",
                    help="halo mode: keep equal-width slabs (skip equal-count "
-                        "split rebalancing at output cadence)")
+                        "split rebalancing at output cadence; also disables "
+                        "adaptive capacity)")
+    p.add_argument("--no-halo-adapt", action="store_true",
+                   help="halo mode: freeze the buffer caps at their initial "
+                        "static-margin sizes instead of tracking occupancy "
+                        "at output cadence (adapt_config: grow on drift, "
+                        "shrink after rebalancing spreads particles back "
+                        "out, quantized so rebuilds hit the compile cache)")
     p.add_argument("--host-devices", type=int, default=None,
                    help="create N virtual CPU devices (testing --mesh "
                         "without hardware)")
@@ -530,6 +538,9 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
             return ms
     else:
         valid0 = np.asarray(state0.prop) >= 0
+        halo_adapt = not (args.no_halo_adapt or args.no_rebalance)
+        halo_margin = args.halo_margin if args.halo_margin is not None \
+            else (1.08 if halo_adapt else 1.2)
         if args.no_rebalance:
             splits = ha.uniform_splits(sim, nx, 0)
             splits_y = ha.uniform_splits(sim, ny, 1)
@@ -540,14 +551,19 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
         hcfg = ha.default_halo_config(
             sim, (nx, ny) if ny > 1 else ndev, splits=splits,
             splits_y=splits_y, state=state0,
-            occupancy_margin=args.halo_margin)
+            occupancy_margin=halo_margin, npad_floor=not halo_adapt)
+        if halo_adapt:
+            # quantized caps: adaptive re-sizing then recurs on a small set
+            # of frame shapes, so step rebuilds hit the compile cache
+            hcfg = ha.quantize_config(hcfg)
         mstate = ha.partition_state(sim, mesh, hcfg, splits=splits,
                                     splits_y=splits_y, state=state0)
         _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
         log.printf("halo: capacity=%d migration_cap=%d halo_cap=%d "
-                   "halo_cap_y=%d engine=%s\n",
+                   "halo_cap_y=%d engine=%s adapt=%s margin=%.3g\n",
                    hcfg.capacity, hcfg.migration_cap, hcfg.halo_cap,
-                   hcfg.halo_cap_y, ha.make_halo_step.last_engine)
+                   hcfg.halo_cap_y, ha.make_halo_step.last_engine,
+                   halo_adapt, halo_margin)
 
         def advance(ms, n):
             # in-loop divergence guard: stop at the FIRST diverged step
@@ -561,22 +577,11 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
         def to_slot(ms):
             return ha.to_slot_state(sim, ms)
 
-        def regrow(reason):
-            # self-heal: double the saturated buffers, refresh capacity from
-            # current occupancy, rebuild the step (one recompile) and
-            # repartition under fresh equal-count planes
-            nonlocal mstate, hcfg, run_chunk, regrow_budget
-            regrow_budget -= 1
-            old = hcfg
-            hcfg, splits, splits_y = ha.regrow_config(sim, mesh, hcfg, mstate)
-            log.printf(
-                "WARNING: %s; regrowing caps (mig %d->%d halo %d->%d "
-                "haloY %d->%d cap %d->%d) and repartitioning "
-                "(%d regrows left)\n",
-                reason, old.migration_cap, hcfg.migration_cap,
-                old.halo_cap, hcfg.halo_cap, old.halo_cap_y,
-                hcfg.halo_cap_y, old.capacity, hcfg.capacity,
-                regrow_budget)
+        def rebuild_step(new_hcfg, splits, splits_y):
+            # resize: rebuild the jitted step for the new caps (one
+            # recompile, cache-hit under quantized shapes) and repartition
+            # the gathered state under the given planes
+            nonlocal mstate, hcfg, run_chunk
             gathered = dict(
                 prop=np.asarray(mstate.prop), pos=np.asarray(mstate.pos),
                 vel=np.asarray(mstate.vel), pos0=np.asarray(mstate.pos0),
@@ -584,10 +589,31 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
                 s_vel=np.asarray(mstate.s_vel),
                 wall_center=np.asarray(mstate.wall_center),
                 time=float(mstate.time))
-            _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
+            _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, new_hcfg)
             mstate = ha.partition_state(
                 sim, mesh, hcfg, splits=splits, splits_y=splits_y,
                 state=gathered)
+
+        def regrow(reason):
+            # self-heal: double the saturated buffers, refresh capacity from
+            # current occupancy, rebuild the step (one recompile) and
+            # repartition under fresh equal-count planes
+            nonlocal regrow_budget
+            regrow_budget -= 1
+            old = hcfg
+            grown, splits, splits_y = ha.regrow_config(sim, mesh, hcfg,
+                                                       mstate)
+            if halo_adapt:
+                grown = ha.quantize_config(grown)
+            log.printf(
+                "WARNING: %s; regrowing caps (mig %d->%d halo %d->%d "
+                "haloY %d->%d cap %d->%d) and repartitioning "
+                "(%d regrows left)\n",
+                reason, old.migration_cap, grown.migration_cap,
+                old.halo_cap, grown.halo_cap, old.halo_cap_y,
+                grown.halo_cap_y, old.capacity, grown.capacity,
+                regrow_budget)
+            rebuild_step(grown, splits, splits_y)
 
     speed_limit = 2.0 * max(sound_speed_bound(cfg), 1.0)
     dt = cfg.dt
@@ -642,7 +668,27 @@ def run_multichip(args, cfg, grid, sim, state0, log) -> int:
             log.printf("@ Vtk Output Time : %e\n", time)
             vtk_next += cfg.vtk_output_interval
         if args.mode == "halo" and not args.no_rebalance and time > 0:
-            mstate = ha.rebalance(sim, mesh, hcfg, mstate)
+            if halo_adapt:
+                # occupancy-adaptive caps: grow on drift, SHRINK once
+                # rebalancing has spread particles back out (dead capacity
+                # rows are swept every step); quantized so the rebuild hits
+                # the compile cache
+                new_hcfg, spl, spl_y, changed = ha.adapt_config(
+                    sim, mesh, hcfg, mstate, occupancy_margin=halo_margin)
+                if changed:
+                    log.printf(
+                        "halo adapt: caps (mig %d->%d halo %d->%d haloY "
+                        "%d->%d cap %d->%d) at t=%e\n",
+                        hcfg.migration_cap, new_hcfg.migration_cap,
+                        hcfg.halo_cap, new_hcfg.halo_cap, hcfg.halo_cap_y,
+                        new_hcfg.halo_cap_y, hcfg.capacity,
+                        new_hcfg.capacity, time)
+                    rebuild_step(new_hcfg, spl, spl_y)
+                else:
+                    mstate = ha.rebalance(sim, mesh, hcfg, mstate,
+                                          splits=spl, splits_y=spl_y)
+            else:
+                mstate = ha.rebalance(sim, mesh, hcfg, mstate)
         if args.mode == "halo" and regrow_budget > 0:
             # PROACTIVE capacity check: consolidation overflow loses rows
             # outright (capacity IS the array size, nothing to defer into),

@@ -243,7 +243,7 @@ def _dest_regions(pos, splits_x, splits_y, nx, ny):
 def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
                         splits: Optional[np.ndarray] = None,
                         splits_y: Optional[np.ndarray] = None,
-                        state=None) -> HaloConfig:
+                        state=None, npad_floor: bool = True) -> HaloConfig:
     """Size the per-shard buffers from the case geometry: a halo strip is
     one support radius deep by the region's full cross-section, counted in
     lattice sites (support/l0 particle rows deep x (width/l0 per axis)).
@@ -257,11 +257,21 @@ def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
     the window sweep pays for every step (measured 124 -> 77 ms/step at 1M
     on one v5e going 2.0 -> 1.2), and equal-count rebalancing at output
     cadence keeps per-shard counts near N/ndev.  Saturation is COUNTED
-    (never silent) and the CLI warns on overflow."""
+    (never silent) and the CLI warns on overflow.
+
+    ``npad_floor=False`` (requires ``splits``) drops the ``n_pad``-based
+    capacity floor and sizes purely from the measured per-region peak:
+    ``n_pad`` counts padding and structure rows that never occupy fluid
+    capacity, so the floor blocks :func:`adapt_config` from shrinking a
+    structure-heavy or post-drift frame back down."""
     nx, ny = (int(ndev), 1) if np.isscalar(ndev) else (
         int(ndev[0]), int(ndev[1]))
     ntot = nx * ny
-    cap = int(np.ceil(sim.n_pad * occupancy_margin / ntot / 128.0)) * 128
+    have_splits = splits is not None or splits_y is not None or ny > 1
+    if not have_splits:
+        npad_floor = True  # no occupancy measurement to size from
+    cap = int(np.ceil(sim.n_pad * occupancy_margin / ntot / 128.0)) * 128 \
+        if npad_floor else 0
     s = sim.state0 if state is None else state
     prop = np.asarray(s.prop)
     pos = np.asarray(s.pos)
@@ -269,7 +279,7 @@ def default_halo_config(sim, ndev, *, occupancy_margin: float = 1.2,
     sx = uniform_splits(sim, nx, 0) if splits is None else np.asarray(splits)
     sy = normalize_splits_y(
         uniform_splits(sim, ny, 1) if splits_y is None else splits_y, nx, ny)
-    if splits is not None or splits_y is not None or ny > 1:
+    if have_splits:
         dest = _dest_regions(pos[valid], sx, sy, nx, ny)
         peak = int(np.bincount(dest, minlength=ntot).max())
         cap = max(cap, int(np.ceil(peak * occupancy_margin / 128.0)) * 128)
@@ -426,16 +436,21 @@ def _fill_regions(prop, pos, vel, pos0, oid, valid, splits, splits_y,
                 oid=out_oid)
 
 
-def rebalance(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState) -> HaloState:
+def rebalance(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState,
+              splits: Optional[np.ndarray] = None,
+              splits_y: Optional[np.ndarray] = None) -> HaloState:
     """Host-side load rebalancing at output cadence: recompute equal-count
-    split planes from the current particle distribution and re-partition the
+    split planes from the current particle distribution (or take them
+    precomputed, e.g. from :func:`adapt_config`) and re-partition the
     fluid/wall rows (structure subset and wall state carry over unchanged)."""
     nx, ny = mesh_shape(mesh)
     prop = np.asarray(state.prop)
     pos = np.asarray(state.pos)
     valid = prop >= 0
-    splits = compute_splits(sim, nx, pos, valid, axis=0)
-    splits_y = compute_splits_y(sim, nx, ny, pos, valid, splits_x=splits)
+    if splits is None:
+        splits = compute_splits(sim, nx, pos, valid, axis=0)
+    if splits_y is None:
+        splits_y = compute_splits_y(sim, nx, ny, pos, valid, splits_x=splits)
     gathered = dict(
         prop=prop, pos=pos, vel=np.asarray(state.vel),
         pos0=np.asarray(state.pos0), oid=np.asarray(state.oid),
@@ -478,6 +493,73 @@ def regrow_config(sim, mesh: Mesh, hcfg: HaloConfig,
         halo_cap_y=max(fresh.halo_cap_y, 2 * hcfg.halo_cap_y),
     )
     return grown, splits, splits_y
+
+
+def quantize_config(hcfg: HaloConfig, quantum: int = 1024) -> HaloConfig:
+    """Round every cap UP to a ``quantum``-row multiple (quantum is itself
+    forced to a 128 multiple, the window kernels' lane width).  Adaptive
+    re-sizing under drift then lands on a small recurring set of frame
+    shapes, so ``make_halo_step`` rebuilds hit the jit / persistent-compile
+    cache instead of paying a fresh XLA compile each time occupancy moves
+    by a few rows."""
+    q = max(128, (int(quantum) // 128) * 128)
+
+    def r(v):
+        return int(np.ceil(v / q)) * q if v > 0 else 0
+
+    return HaloConfig(capacity=r(hcfg.capacity),
+                      migration_cap=r(hcfg.migration_cap),
+                      halo_cap=r(hcfg.halo_cap),
+                      halo_cap_y=r(hcfg.halo_cap_y))
+
+
+def adapt_config(sim, mesh: Mesh, hcfg: HaloConfig, state: HaloState, *,
+                 occupancy_margin: float = 1.08, quantum: int = 1024,
+                 shrink_quanta: int = 2) -> tuple[HaloConfig, np.ndarray,
+                                                  np.ndarray, bool]:
+    """Occupancy-adaptive buffer sizing (round-4 verdict item 4): every
+    capacity row is a frame row the window sweep pays for every step, so
+    instead of a one-shot static margin the caps TRACK the occupancy under
+    fresh equal-count planes — growing when drift concentrated particles,
+    and (unlike :func:`regrow_config`) SHRINKING back once rebalancing has
+    spread them out again, so dead rows stop being swept.
+
+    Returns ``(new_hcfg, splits, splits_y, changed)``.  ``changed`` means
+    the caller must rebuild the step (``make_halo_step``) and re-partition;
+    otherwise a plain :func:`rebalance` under the returned planes suffices.
+    Hysteresis: caps only shrink when the frame loses at least
+    ``shrink_quanta`` quanta of rows, so a boundary-straddling occupancy
+    cannot thrash rebuild/recompile cycles.  The default margin 1.08 keeps
+    post-shrink occupancy/capacity <= 0.926, under the CLI's proactive
+    0.95 regrow trigger.  The reference has no analog (single-GPU, all
+    arrays sized once at load, src/main.cpp:811-891); this is the scale-out
+    row of SURVEY §2."""
+    import types
+
+    nx, ny = mesh_shape(mesh)
+    prop = np.asarray(state.prop)
+    pos = np.asarray(state.pos)
+    valid = prop >= 0
+    splits = compute_splits(sim, nx, pos, valid, axis=0)
+    splits_y = compute_splits_y(sim, nx, ny, pos, valid, splits_x=splits)
+    ns = types.SimpleNamespace(prop=prop, pos=pos)
+    fresh = quantize_config(default_halo_config(
+        sim, (nx, ny) if ny > 1 else nx, splits=splits, splits_y=splits_y,
+        state=ns, occupancy_margin=occupancy_margin, npad_floor=False),
+        quantum)
+    grow = any(f > c for f, c in zip(fresh, hcfg))
+
+    def rows(c):
+        # swept frame rows per shard (own + x ghosts + y ghosts)
+        return c.capacity + 2 * c.halo_cap + 2 * c.halo_cap_y
+
+    if grow:
+        new = HaloConfig(*(max(f, c) for f, c in zip(fresh, hcfg)))
+    elif rows(fresh) + shrink_quanta * quantum <= rows(hcfg):
+        new = fresh
+    else:
+        new = hcfg
+    return new, splits, splits_y, new != hcfg
 
 
 def gather_state(sim, state: HaloState) -> dict:
@@ -766,26 +848,39 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
             dist = jnp.where(valid, (dest - rank_x) % nx, 0)
             go_right = (dist > 0) & (dist <= nx // 2)
             go_left = (dist > 0) & ~go_right
-            # oid stays int32 end-to-end (lax.sort and ppermute both take
-            # mixed dtypes): riding as f32 would round slot ids above 2^24
-            # (~16.7M particles) and silently corrupt to_slot_state
-            (lf, lp, lv, lp0, lo), lmask, lover, ltake = _extract(
-                mig, go_left, propf, pos, vel, pos0, oid)
-            (rf, rp, rv, rp0, ro), rmask, rover, rtake = _extract(
-                mig, go_right, propf, pos, vel, pos0, oid)
-            lf = jnp.where(lmask, lf, -1.0)
-            rf = jnp.where(rmask, rf, -1.0)
-            # only rows that actually rode the ring leave this shard:
-            # overflow migrants STAY (deferred migration).  A CFL-bounded
-            # crosser sits within one strip reach of the boundary, so its
-            # pair sums stay exact against the halo ghosts for the deferred
-            # step; it re-routes on the next rebuild (the CLI regrows the
-            # cap on saturation).  The old `go_left | go_right` keep-mask
-            # dropped overflow migrants outright -- particle loss.
-            sent = (jnp.zeros_like(go_left).at[ltake].set(lmask)
-                    | jnp.zeros_like(go_right).at[rtake].set(rmask))
-            return (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro,
-                    sent, (lover + rover).astype(jnp.int32))
+
+            def ex(_):
+                # oid stays int32 end-to-end (lax.sort and ppermute both
+                # take mixed dtypes): riding as f32 would round slot ids
+                # above 2^24 (~16.7M particles) and silently corrupt
+                # to_slot_state
+                (lf, lp, lv, lp0, lo), lmask, lover, ltake = _extract(
+                    mig, go_left, propf, pos, vel, pos0, oid)
+                (rf, rp, rv, rp0, ro), rmask, rover, rtake = _extract(
+                    mig, go_right, propf, pos, vel, pos0, oid)
+                lf = jnp.where(lmask, lf, -1.0)
+                rf = jnp.where(rmask, rf, -1.0)
+                # only rows that actually rode the ring leave this shard:
+                # overflow migrants STAY (deferred migration).  A
+                # CFL-bounded crosser sits within one strip reach of the
+                # boundary, so its pair sums stay exact against the halo
+                # ghosts for the deferred step; it re-routes on the next
+                # rebuild (the CLI regrows the cap on saturation).  The old
+                # `go_left | go_right` keep-mask dropped overflow migrants
+                # outright -- particle loss.
+                sent = (jnp.zeros_like(go_left).at[ltake].set(lmask)
+                        | jnp.zeros_like(go_right).at[rtake].set(rmask))
+                return (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro,
+                        sent, (lover + rover).astype(jnp.int32))
+
+            # the compaction sorts only run when a migrant exists on THIS
+            # shard (device-local predicate: no collectives inside, so the
+            # branches may diverge across shards).  Most rebuilds move
+            # nobody -- the C8 displacement predicate trips at margin/2,
+            # well inside a region -- so the common rebuild pays two cap-row
+            # sorts less; at nx == 1 migration can never happen at all.
+            return jax.lax.cond(jnp.any(go_left | go_right), ex, mig_dummy,
+                                None)
 
         (lf, lp, lv, lp0, lo, rf, rp, rv, rp0, ro, go, mover) = _cond(
             rebuild, mig_payloads_x, mig_dummy)
@@ -812,9 +907,23 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
         if two_axis:
             # --- round 2: consolidate x migrants, then extract y migrants -
             def consolidate_x_and_mig_y(_):
-                prop2, pos2, pos02, vel2, oid2, cover = _consolidate(
-                    jnp.where(valid & ~go, propf, -1.0), pos, vel, pos0, oid,
-                    recv_right, recv_left)
+                def full(_):
+                    p2, x2, x02, v2, o2, cov = _consolidate(
+                        jnp.where(valid & ~go, propf, -1.0), pos, vel, pos0,
+                        oid, recv_right, recv_left)
+                    return p2, x2, x02, v2, o2, cov.astype(jnp.int32)
+
+                def ident(_):
+                    return (prop, pos, pos0, vel, oid,
+                            jnp.asarray(0, jnp.int32))
+
+                # device-local skip (see mig_payloads_x): the cap+2*mig-row
+                # compaction sort only runs when this shard sent or
+                # received an x migrant
+                active_x = (jnp.any(go) | jnp.any(recv_right[0] >= 0)
+                            | jnp.any(recv_left[0] >= 0))
+                prop2, pos2, pos02, vel2, oid2, cover = jax.lax.cond(
+                    active_x, full, ident, None)
                 valid2 = prop2 >= 0
                 propf2 = prop2.astype(dtype)
                 dest = jnp.clip(
@@ -823,19 +932,26 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
                 dist = jnp.where(valid2, (dest - rank_y) % ny, 0)
                 go_up = (dist > 0) & (dist <= ny // 2)
                 go_down = (dist > 0) & ~go_up
-                (df, dp, dv, dp0, do), dmask, dover, dtake = _extract(
-                    mig, go_down, propf2, pos2, vel2, pos02, oid2)
-                (uf, up, uv, up0, uo), umask, uover, utake = _extract(
-                    mig, go_up, propf2, pos2, vel2, pos02, oid2)
-                df = jnp.where(dmask, df, -1.0)
-                uf = jnp.where(umask, uf, -1.0)
-                # deferred migration on overflow, as in the x stage above
-                sent_y = (jnp.zeros_like(go_down).at[dtake].set(dmask)
-                          | jnp.zeros_like(go_up).at[utake].set(umask))
+
+                def ex_y(_):
+                    (df, dp, dv, dp0, do), dmask, dover, dtake = _extract(
+                        mig, go_down, propf2, pos2, vel2, pos02, oid2)
+                    (uf, up, uv, up0, uo), umask, uover, utake = _extract(
+                        mig, go_up, propf2, pos2, vel2, pos02, oid2)
+                    df = jnp.where(dmask, df, -1.0)
+                    uf = jnp.where(umask, uf, -1.0)
+                    # deferred migration on overflow, as in the x stage
+                    sent_y = (jnp.zeros_like(go_down).at[dtake].set(dmask)
+                              | jnp.zeros_like(go_up).at[utake].set(umask))
+                    return (df, dp, dv, dp0, do, uf, up, uv, up0, uo,
+                            sent_y, (dover + uover).astype(jnp.int32))
+
+                (df, dp, dv, dp0, do, uf, up, uv, up0, uo, sent_y,
+                 mover_y) = jax.lax.cond(jnp.any(go_up | go_down), ex_y,
+                                         mig_dummy, None)
                 return (prop2, pos2, pos02, vel2, oid2,
                         df, dp, dv, dp0, do, uf, up, uv, up0, uo,
-                        sent_y,
-                        (cover + dover + uover).astype(jnp.int32))
+                        sent_y, (cover + mover_y).astype(jnp.int32))
 
             def pass_x(_):
                 zf = jnp.full((mig,), -1.0, dtype)
@@ -860,14 +976,26 @@ def make_halo_step(sim, mesh: Mesh, hcfg: Optional[HaloConfig] = None):
 
         # --- final consolidation + fresh x-strip selection / passthrough --
         def consolidate(_):
-            if two_axis:
-                prop2, pos2, pos02, vel2, oid2, cover = _consolidate(
-                    jnp.where(valid & ~go_y, propf, -1.0), pos, vel, pos0,
-                    oid, recv_up, recv_down)
-            else:
-                prop2, pos2, pos02, vel2, oid2, cover = _consolidate(
-                    jnp.where(valid & ~go, propf, -1.0), pos, vel, pos0,
-                    oid, recv_right, recv_left)
+            sent_m = go_y if two_axis else go
+            recv_a = recv_up if two_axis else recv_right
+            recv_b = recv_down if two_axis else recv_left
+
+            def full(_):
+                p2, x2, x02, v2, o2, cov = _consolidate(
+                    jnp.where(valid & ~sent_m, propf, -1.0), pos, vel, pos0,
+                    oid, recv_a, recv_b)
+                return p2, x2, x02, v2, o2, cov.astype(jnp.int32)
+
+            def ident(_):
+                return (prop, pos, pos0, vel, oid, jnp.asarray(0, jnp.int32))
+
+            # device-local skip (see mig_payloads_x): strip re-selection
+            # below still always runs on rebuild -- positions moved even
+            # when nobody migrated
+            active = (jnp.any(sent_m) | jnp.any(recv_a[0] >= 0)
+                      | jnp.any(recv_b[0] >= 0))
+            prop2, pos2, pos02, vel2, oid2, cover = jax.lax.cond(
+                active, full, ident, None)
             valid2 = prop2 >= 0
             # halo strips one strip_support inside each edge (support + the
             # C8 margin, so the cached ghost set still covers every true

@@ -409,3 +409,67 @@ def test_halo_guarded_chunk_stops_at_divergence():
     out, over, done, ok = run_chunk.guarded(state, 50)
     assert not bool(ok)
     assert 0 < int(done) < 50
+
+
+def test_adapt_config_grow_shrink_hysteresis():
+    """Occupancy-adaptive caps (round-4 verdict item 4): adapt_config must
+    GROW an undersized config, SHRINK an inflated one back to fresh
+    occupancy-quantized sizes, and hold (changed=False) inside the
+    shrink-hysteresis band so boundary-straddling occupancy cannot thrash
+    rebuild/recompile cycles."""
+    grid = mini_dam()
+    cfg = dam_like_config()
+    sim = Simulation(cfg, grid)
+    mesh = make_mesh(2)
+    hcfg0 = halo.default_halo_config(sim, 2)
+    _, _run, hcfg0 = halo.make_halo_step(sim, mesh, hcfg0)
+    state = halo.partition_state(sim, mesh, hcfg0)
+    q = 128
+
+    # pure fresh sizing from the current (initial) occupancy: growing from
+    # a tiny config yields max(fresh, tiny) == fresh
+    tiny = halo.HaloConfig(q, q, q, 0)
+    fresh, spl, spl_y, _ = halo.adapt_config(sim, mesh, tiny, state,
+                                             quantum=q)
+    assert all(v % q == 0 for v in fresh if v > 0)
+    occ = (np.asarray(state.prop).reshape(2, -1) >= 0).sum(axis=1).max()
+    assert fresh.capacity >= occ  # caps always cover occupancy
+    assert fresh.capacity <= int(np.ceil(occ * 1.08 / q)) * q + q
+
+    # SHRINK: an inflated config (post-regrow shape) must come back down
+    fat = halo.HaloConfig(capacity=fresh.capacity + 8 * q,
+                          migration_cap=fresh.migration_cap + 8 * q,
+                          halo_cap=fresh.halo_cap + 8 * q,
+                          halo_cap_y=fresh.halo_cap_y)
+    new, _, _, changed = halo.adapt_config(sim, mesh, fat, state, quantum=q)
+    assert changed and new == fresh
+
+    # HOLD: within the hysteresis band (less than shrink_quanta quanta of
+    # total frame rows above fresh) nothing changes
+    snug = fresh._replace(capacity=fresh.capacity + q)
+    new, _, _, changed = halo.adapt_config(sim, mesh, snug, state,
+                                           quantum=q, shrink_quanta=2)
+    assert not changed and new == snug
+
+    # GROW: an undersized capacity grows to at least the fresh size
+    thin = fresh._replace(capacity=max(q, fresh.capacity - 4 * q))
+    new, _, _, changed = halo.adapt_config(sim, mesh, thin, state, quantum=q)
+    assert changed and new.capacity >= fresh.capacity
+
+    # the adapted config must RUN: rebuild the step under `fresh` and hold
+    # parity with the single-chip trajectory for a few steps
+    s0_copy = jax.tree_util.tree_map(lambda x: x.copy(), sim.state0)
+    s_single = sim.run_chunk(s0_copy, 6)
+    ref = to_numpy(s_single, grid.n)
+    step2, _run2, hcfg2 = halo.make_halo_step(sim, mesh, fresh)
+    state2 = halo.partition_state(sim, mesh, hcfg2, splits=spl,
+                                  splits_y=spl_y)
+    for _ in range(6):
+        state2, overflow = step2(state2)
+        assert int(overflow) == 0
+    out = halo.gather_state(sim, state2)
+    a = _sorted_by_pos(ref["prop"][: grid.n], ref["pos"][: grid.n],
+                       ref["vel"][: grid.n])
+    b = _sorted_by_pos(out["prop"], out["pos"], out["vel"])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-9, atol=1e-13)

@@ -38,9 +38,11 @@ def main():
                          "mesh for multi-shard runs)")
     splits = ha.compute_splits(
         sim, ndev, sim.state0.pos, np.asarray(sim.state0.prop) >= 0)
-    kw = {} if margin is None else dict(occupancy_margin=margin)
-    hcfg = ha.default_halo_config(sim, ndev, splits=splits, state=sim.state0,
-                                  **kw)
+    # mirror the CLI's adaptive default: occupancy-sized quantized caps at
+    # margin 1.08 (the steady state adapt_config settles into)
+    kw = dict(occupancy_margin=1.08 if margin is None else margin)
+    hcfg = ha.quantize_config(ha.default_halo_config(
+        sim, ndev, splits=splits, state=sim.state0, npad_floor=False, **kw))
     mstate = ha.partition_state(sim, mesh, hcfg, splits=splits,
                                 state=sim.state0)
     _, run_chunk, hcfg = ha.make_halo_step(sim, mesh, hcfg)
