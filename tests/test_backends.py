@@ -365,3 +365,52 @@ def jnp_zero():
     import jax.numpy as jnp
 
     return jnp.zeros((), jnp.int32)
+
+
+def test_c8_skip_survives_boundary_crossings():
+    """Round 5: a periodic-boundary CROSSING during a C8 skip window is NOT
+    a rebuild event.  The displacement predicate min-images motion on
+    wrapped axes and the skip path presents pos_eff = pos - k*L (the
+    position unwrapped into the cached frame's coordinate patch), so a
+    uniformly advecting periodic lattice rebuilds exactly ONCE no matter
+    how many particles wrap -- while staying in exact parity with the
+    min-imaging packed engine.  (Through round 4 the wrap teleport tripped
+    the predicate: developed channel flow rebuilt every step.)"""
+    from particlemethod_fsi_tpu.generator import (
+        BoidScene, Primitive, generate_grid,
+    )
+
+    n_side = 12
+    grid = generate_grid(BoidScene(
+        particle_distance=1e-3,
+        lower_domain=(0.0, 0.0, 0.0),
+        upper_domain=(n_side * 1e-3, n_side * 1e-3, 1e-3),
+        primitives=[Primitive("Cuboid", spacing=1e-3, type=0,
+                              lower=(0, 0, 0),
+                              upper=(n_side * 1e-3, n_side * 1e-3, 1e-3))],
+    ))
+    base = dict(gravity=(0.0, 0.0, 0.0))
+    cfg1 = dam_like_config(backend="pallas_t", pallas_block=32,
+                           pallas_wmax=128,
+                           rebuild_margin=1.0).replace(**base)
+    # uniform advection: 0.3 particle spacings per step -> the boundary
+    # column wraps every ~4 steps; zero relative displacement
+    vx = 0.3 * 1e-3 / cfg1.dt
+    grid.velocity[:, 0] = vx
+
+    a = run(grid, dam_like_config(backend="packed").replace(**base), 16)
+
+    sim = Simulation(cfg1, grid)
+    assert sim._margin_cached and sim._ghosts is not None
+    state, cache = sim.state0, sim._init_cache(sim.state0)
+    for _ in range(16):
+        state, cache = sim._step_core(state, cache)
+    assert int(cache["rebuilds"]) == 1, (
+        f"crossings tripped {int(cache['rebuilds'])} rebuilds; min-image "
+        "predicate should see zero relative displacement")
+    c = to_numpy(state, grid.n)
+    # canonical state stays wrapped up to one step's drift (the wrap runs
+    # at step START, before forces -- same schedule as the packed engine)
+    assert float(np.max(c["pos"][:, 0])) < sim.domain_max[0] + vx * cfg1.dt
+    np.testing.assert_allclose(a["pos"], c["pos"], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a["vel"], c["vel"], rtol=1e-9, atol=1e-13)
